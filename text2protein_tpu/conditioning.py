@@ -1,0 +1,152 @@
+"""Conditioning & masking utilities (JAX, keyed RNG).
+
+Re-design of `/root/reference/utils.py:15-148`: host-RNG loops become vmapped
+`jax.random` mask constructions with identical semantics:
+  * random / contiguous / no inpainting-mask choice by config probabilities,
+    span length U(mask_min*L, mask_max*L), 1-D mask -> pair mask via
+    logical_or(m_i, m_j);
+  * "1:5,10:15" user mask specs;
+  * per-batch condition extraction (length / ss / inpainting);
+  * length-sweep mask stacks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pair_mask(m):
+    """(…, N) 1-D mask -> (…, N, N) via logical_or(m_i, m_j)."""
+    return jnp.logical_or(m[..., :, None], m[..., None, :])
+
+
+def random_mask_batch(key, lengths, n, config):
+    """Training-time inpainting masks (`/root/reference/utils.py:15-60`).
+
+    Args:
+      key: PRNG key; lengths: (B,) int32 real lengths; n: padded size.
+    Returns:
+      (B, N, N) bool mask_inpaint (True = masked/inpainted region), or None
+      when "inpainting" is not in the condition list.
+    """
+    if "inpainting" not in config.model.condition:
+        return None
+    b = lengths.shape[0]
+    mask_min = config.model.inpainting.mask_min_len
+    mask_max = config.model.inpainting.mask_max_len
+    p_rand = config.model.inpainting.random_mask_prob
+    p_cont = config.model.inpainting.contiguous_mask_prob
+
+    key, k_choice, k_len, k_perm, k_start = jax.random.split(key, 5)
+    prob = jax.random.uniform(k_choice)  # one draw per batch, like the ref
+
+    lo = (mask_min * lengths).astype(jnp.int32)
+    hi = (mask_max * lengths).astype(jnp.int32)
+    span = lo + (
+        jax.random.uniform(k_len, (b,)) * jnp.maximum(hi - lo, 1)
+    ).astype(jnp.int32)
+
+    pos = jnp.arange(n)
+
+    # Random masking: `span` random indices among [0, L).
+    def rand_mask(k, l, s):
+        scores = jax.random.uniform(k, (n,))
+        scores = jnp.where(pos < l, scores, jnp.inf)  # only real residues
+        thresh = jnp.sort(scores)[jnp.maximum(s - 1, 0)]
+        return (scores <= thresh) & (pos < l) & (s > 0)
+
+    rand_masks = jax.vmap(rand_mask)(jax.random.split(k_perm, b), lengths, span)
+
+    # Contiguous masking: start ~ U(0, L - span).
+    start = (
+        jax.random.uniform(k_start, (b,))
+        * jnp.maximum(lengths - span, 1).astype(jnp.float32)
+    ).astype(jnp.int32)
+    cont_masks = (pos[None, :] >= start[:, None]) & (
+        pos[None, :] < (start + span)[:, None]
+    )
+
+    ones = jnp.ones((b, n), dtype=bool)
+    mask1d = jnp.where(
+        prob < p_rand, rand_masks, jnp.where(prob > 1 - p_cont, cont_masks, ones)
+    )
+    return _pair_mask(mask1d)
+
+
+def selected_mask_batch(mask_info: str, batch_size: int, n: int):
+    """User mask spec "1:5,10:15" (inclusive ends) -> (B, N, N) bool
+    (`/root/reference/utils.py:62-81`)."""
+    m = np.zeros(n, dtype=bool)
+    for r in mask_info.split(","):
+        if ":" in r:
+            s, e = r.split(":")
+            m[int(s) : int(e) + 1] = True
+        else:
+            m[int(r)] = True
+    m = jnp.asarray(np.tile(m, (batch_size, 1)))
+    return _pair_mask(m)
+
+
+def length_mask(lengths, n):
+    """(B,) lengths -> (B, N, N) bool, True on the leading [l, l] square."""
+    pos = jnp.arange(n)
+    row = pos[None, :] < lengths[:, None]  # (B, N)
+    return row[:, :, None] & row[:, None, :]
+
+
+def get_condition_from_batch(config, batch, mask_info=None, rng=None):
+    """Extract the sampler's condition dict from a batch
+    (`/root/reference/utils.py:83-106`). NHWC layout for ss/coords."""
+    out = {}
+    n = config.data.max_res_num
+    for c in config.model.condition:
+        if c == "length":
+            out[c] = length_mask(jnp.asarray(batch["length"]), n)
+        elif c == "ss":
+            out[c] = jnp.asarray(batch["coords_6d"])[..., 4:7]
+        elif c == "inpainting":
+            if mask_info is not None:
+                mask = selected_mask_batch(
+                    mask_info, batch["coords_6d"].shape[0], n
+                )
+            else:
+                assert rng is not None, "random inpainting masks need an rng"
+                mask = random_mask_batch(
+                    rng, jnp.asarray(batch["length"]), n, config
+                )
+            out[c] = {
+                "coords_6d": jnp.asarray(batch["coords_6d"]),
+                "mask_inpaint": mask,
+            }
+    return out
+
+
+def get_mask_all_lengths(config, batch_size=16):
+    """(L_all, B, N, N) length masks for each length in [min, max]
+    (`/root/reference/utils.py:139-148`)."""
+    n = config.data.max_res_num
+    all_lengths = np.arange(config.data.min_res_num, n + 1)
+    masks = np.zeros((len(all_lengths), batch_size, n, n), dtype=bool)
+    for idx, l in enumerate(all_lengths):
+        masks[idx, :, :l, :l] = True
+    return jnp.asarray(masks)
+
+
+def batch_to_device_arrays(batch, config, rng=None):
+    """Host batch (from data.make_batch) -> the array dict the loss consumes,
+    including NHWC transposition and inpainting masks."""
+    coords = jnp.asarray(batch["coords_6d"]).transpose(0, 2, 3, 1)  # -> NHWC
+    out = {
+        "coords_6d": coords,
+        "mask_pair": jnp.asarray(batch["mask_pair"]),
+        "ss_spans": jnp.asarray(batch["ss_spans"]),
+        "length": jnp.asarray(batch["length"]),
+    }
+    if "inpainting" in config.model.condition:
+        assert rng is not None
+        out["mask_inpaint"] = random_mask_batch(
+            rng, out["length"], config.data.max_res_num, config
+        )
+    return out

@@ -1,0 +1,63 @@
+"""Fused multi-head attention dispatch.
+
+The reference materializes full O((HW)^2) attention logits on one device
+(`/root/reference/score_sde_pytorch/models/layers.py:160-176`) and a separate
+einsum cross-attention (`/root/reference/model/attention.py:152-193`). Here a
+single entry point serves both:
+
+  * on TPU, a Pallas flash-attention kernel (`flash.py`) — blockwise online
+    softmax, logits never hit HBM;
+  * elsewhere (CPU tests) or for tiny shapes, an XLA einsum path that the
+    compiler fuses well.
+
+Layout: q (B, H, Tq, D), k/v (B, H, Tk, D); optional kv_mask (B, Tk) bool.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = float("-inf")
+
+
+def _xla_attention(q, k, v, scale, kv_mask=None):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if kv_mask is not None:
+        bias = jnp.where(kv_mask[:, None, None, :], 0.0, _NEG_INF)
+        logits = logits + bias
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def dot_product_attention(q, k, v, scale=None, kv_mask=None, use_pallas=None):
+    """Scaled dot-product attention.
+
+    Args:
+      q: (B, H, Tq, D); k, v: (B, H, Tk, D).
+      scale: logit scale; defaults to D**-0.5.
+      kv_mask: optional (B, Tk) bool, True = attend (padded caption tokens).
+      use_pallas: force kernel choice; None = auto (TPU and shapes permit).
+    Returns:
+      (B, H, Tq, D).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if use_pallas:
+        from .flash import flash_attention, supports
+
+        if supports(q, k, v):
+            return flash_attention(q, k, v, scale=scale, kv_mask=kv_mask)
+    return _xla_attention(q, k, v, scale, kv_mask=kv_mask)

@@ -1,0 +1,127 @@
+"""Pallas TPU flash attention (blockwise online-softmax).
+
+Serves both attention flavors of the score UNet:
+  * grid self-attention over HW tokens — the reference materializes the full
+    (B, H, W, H*W) logits tensor (`/root/reference/score_sde_pytorch/models/
+    layers.py:167-171`);
+  * text cross-attention over caption tokens (`/root/reference/model/
+    attention.py:180-191`), with a key-padding mask (the reference silently
+    attends to pad embeddings; we mask — see kv_mask).
+
+Logits never leave VMEM: per (batch*head, q-block) grid cell, the kernel
+streams k/v blocks and maintains running max / normalizer / accumulator.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_DEFAULT_BQ = 256
+_DEFAULT_BK = 512
+
+
+def _choose_block(t: int, pref: int) -> int:
+    if t <= pref:
+        return t
+    for b in (pref, 256, 128, 64):
+        if t % b == 0:
+            return b
+    return 0  # no clean blocking
+
+
+def supports(q, k, v) -> bool:
+    """Whether the Pallas kernel handles these shapes (else XLA path)."""
+    if q.ndim != 4 or k.ndim != 4 or v.ndim != 4:
+        return False
+    _, _, tq, d = q.shape
+    tk = k.shape[2]
+    if d % 8 != 0 or d > 1024:
+        return False
+    if tq < 8 or tk < 8:
+        return False
+    return _choose_block(tq, _DEFAULT_BQ) > 0 and _choose_block(tk, _DEFAULT_BK) > 0
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, bk, nk, masked):
+    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
+    bq, d = q.shape
+
+    m0 = jnp.full((bq, 1), -1e30, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        kb = k_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)  # (bk, d)
+        vb = v_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, bk)
+        if masked:
+            mb = mask_ref[0, pl.ds(i * bk, bk)].astype(jnp.float32)  # (bk,)
+            s = s + (mb[None, :] - 1.0) * 1e30  # masked -> -1e30
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        if masked:
+            p = p * mb[None, :]  # robust even for fully-masked blocks
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l, acc
+
+    m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def flash_attention(q, k, v, scale=None, kv_mask=None):
+    """q: (B, H, Tq, D); k, v: (B, H, Tk, D); kv_mask: (B, Tk) bool or None."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    if scale is None:
+        scale = d**-0.5
+    bq = _choose_block(tq, _DEFAULT_BQ)
+    bk = _choose_block(tk, _DEFAULT_BK)
+    nk = tk // bk
+
+    qr = q.reshape(b * h, tq, d)
+    kr = k.reshape(b * h, tk, d)
+    vr = v.reshape(b * h, tk, d)
+    masked = kv_mask is not None
+    if masked:
+        mr = kv_mask.astype(jnp.float32)  # (B, Tk)
+    else:
+        mr = jnp.ones((b, 1), jnp.float32)  # placeholder, unread
+
+    grid = (b * h, tq // bq)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, bk=bk, nk=nk, masked=masked
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, mr.shape[1]), lambda i, j: (i // h, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tq * tk * d,
+            bytes_accessed=(qr.size + kr.size + vr.size) * qr.dtype.itemsize,
+            transcendentals=b * h * tq * tk,
+        ),
+    )(qr, kr, vr, mr)
+    return out.reshape(b, h, tq, d)
