@@ -15,4 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# A pytest plugin may import jax before this conftest runs; force the
+# platform through the config API as well.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

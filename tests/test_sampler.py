@@ -1,0 +1,122 @@
+"""PC sampler: analytic-score distributional test + conditioning invariants
+(SURVEY.md §4c/d — the clamp spec of sampling.py:283-285)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from text2protein_tpu.diffusion.sde import VESDE, get_sigmas
+from text2protein_tpu.diffusion.sampling import get_pc_sampler, apply_condition
+
+
+class AnalyticGaussianScoreModel:
+    """Fake 'model' with the VESDE label convention: given labels indexing the
+    DESCENDING sigma ladder, return the exact score of N(0, s0^2) data
+    perturbed by sigma: score(x) = -x / (s0^2 + sigma^2)."""
+
+    def __init__(self, s0, sigma_min, sigma_max, num_scales):
+        self.s0 = s0
+        self.sigmas = jnp.asarray(get_sigmas(sigma_min, sigma_max, num_scales))
+
+    def apply(self, variables, x, labels, context=None, context_mask=None,
+              train=False, rngs=None):
+        sigma = self.sigmas[labels.astype(jnp.int32)]
+        var = self.s0**2 + sigma**2
+        return -x / var.reshape(-1, *([1] * (x.ndim - 1)))
+
+
+def test_pc_sampler_matches_analytic_gaussian():
+    s0 = 0.5
+    sde = VESDE(N=200, sigma_min=0.01, sigma_max=20.0)
+    model = AnalyticGaussianScoreModel(s0, 0.01, 20.0, 200)
+    shape = (16, 8, 8, 2)
+    sampler = get_pc_sampler(
+        sde, model, shape, snr=0.17, n_steps=1, denoise=True, eps=1e-5
+    )
+    samples, nfe = sampler({}, jax.random.PRNGKey(0))
+    assert nfe == 200 * 2
+    samples = np.asarray(samples)
+    assert samples.shape == shape
+    std = samples.std()
+    assert abs(std - s0) / s0 < 0.15, f"sample std {std} vs expected {s0}"
+    assert abs(samples.mean()) < 0.1
+
+
+def test_conditioning_clamped_bit_exact():
+    """Conditioned entries must equal x_initial exactly after sampling."""
+    s0 = 1.0
+    sde = VESDE(N=50, sigma_min=0.01, sigma_max=10.0)
+    model = AnalyticGaussianScoreModel(s0, 0.01, 10.0, 50)
+    b, n, c = 4, 8, 5
+    shape = (b, n, n, c)
+
+    lengths = np.array([4, 6, 8, 5])
+    v = np.zeros((b, n, n), dtype=bool)
+    for i, l in enumerate(lengths):
+        v[i, :l, :l] = True
+    condition = {"length": jnp.asarray(v)}
+
+    sampler = get_pc_sampler(sde, model, shape, snr=0.17, n_steps=1, denoise=True)
+    samples, _ = sampler({}, jax.random.PRNGKey(1), condition=condition)
+    samples = np.asarray(samples)
+
+    # mask channel == the length mask everywhere
+    np.testing.assert_array_equal(samples[..., -1], v.astype(np.float32))
+    # outside the length square, every channel is exactly 0 (x_initial = x*v)
+    assert np.all(samples[~v] == 0.0)
+    # inside, non-mask channels actually evolved
+    assert np.abs(samples[v][:, :-1]).mean() > 0.01
+
+
+def test_apply_condition_ss_and_inpainting():
+    b, n, c = 2, 8, 8
+    x = jnp.ones((b, n, n, c)) * 9.0
+    ss = jnp.full((b, n, n, 3), 0.5)
+    x2, cm = apply_condition(x, {"ss": ss})
+    assert np.all(np.asarray(x2)[..., 4:7] == 0.5)
+    assert not np.asarray(cm)[..., 4:7].any()
+
+    coords = jnp.full((b, n, n, c), -3.0)
+    mask_inp = jnp.zeros((b, n, n), bool).at[:, :3, :3].set(True)
+    x3, cm3 = apply_condition(
+        x, {"inpainting": {"coords_6d": coords, "mask_inpaint": mask_inp}}
+    )
+    x3 = np.asarray(x3)
+    assert np.all(x3[:, :3, :3, :] == 9.0)      # free region keeps prior
+    assert np.all(x3[:, 4:, 4:, :] == -3.0)     # clamped region = coords_6d
+
+
+def test_probability_flow_deterministic_given_key():
+    sde = VESDE(N=20, sigma_min=0.01, sigma_max=10.0)
+    model = AnalyticGaussianScoreModel(1.0, 0.01, 10.0, 20)
+    shape = (2, 8, 8, 2)
+    sampler = get_pc_sampler(
+        sde, model, shape, corrector="none", probability_flow=True, denoise=True
+    )
+    s1, _ = sampler({}, jax.random.PRNGKey(5))
+    s2, _ = sampler({}, jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_langevin_snr_step_size():
+    """One Langevin step with a constant score must apply
+    step = 2*(snr*||z||/||grad||)^2 (alpha=1 for VESDE)."""
+    from text2protein_tpu.diffusion.sampling import LangevinCorrector
+
+    sde = VESDE(N=10, sigma_min=0.01, sigma_max=10.0)
+    g = 2.0
+
+    def score_fn(x, t):
+        return jnp.full_like(x, g)
+
+    corr = LangevinCorrector(sde, score_fn, snr=0.17, n_steps=1)
+    x = jnp.zeros((4, 8, 8, 1))
+    key = jax.random.PRNGKey(0)
+    x_new, x_mean = corr.update_fn(key, x, jnp.full((4,), 0.5))
+    # step size: grad_norm = g * sqrt(D); noise_norm ~ sqrt(D)
+    d = 8 * 8
+    expected_step = (0.17 * 1.0 / g) ** 2 * 2  # noise_norm/grad_norm ~ 1/g
+    got_step = float(np.asarray(x_mean).mean() / g)
+    assert abs(got_step - expected_step) / expected_step < 0.25

@@ -120,7 +120,9 @@ class SpatialTransformer(nn.Module):
         b, h, w, c = x.shape
         inner = self.n_heads * self.d_head
         x_in = x
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        # Reference uses 32 groups unconditionally (channels are always >=128
+        # there); capped for small channel counts.
+        x = nn.GroupNorm(num_groups=min(32, c), epsilon=1e-6, name="norm")(x)
         x = nn.Dense(inner, name="proj_in")(x)  # 1x1 conv == Dense in NHWC
         x = x.reshape(b, h * w, inner)
         block_cls = (

@@ -1,0 +1,66 @@
+"""Orbax checkpointing with the reference's artifact triad.
+
+The reference keeps (a) `checkpoints-meta/checkpoint.pth` written every epoch
+for preemption resume, (b) `checkpoints/best_train.pth`, (c)
+`checkpoints/best_eval.pth` (`/root/reference/train.py:117-127,185,230-255`;
+torch-pickle of {optimizer, model, ema, step},
+`/root/reference/score_sde_pytorch/utils.py:11-26`). Same layout here, as
+orbax PyTree checkpoints of the TrainState.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, workdir):
+        self.workdir = Path(workdir).absolute()
+        self.meta_dir = self.workdir / "checkpoints-meta"
+        self.best_dir = self.workdir / "checkpoints"
+        self.meta_dir.mkdir(parents=True, exist_ok=True)
+        self.best_dir.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _save(self, path: Path, state: TrainState):
+        self._ckptr.save(path, jax.tree.map(lambda x: x, state), force=True)
+        self._ckptr.wait_until_finished()
+
+    def _restore(self, path: Path, template: TrainState) -> TrainState:
+        return self._ckptr.restore(path, template)
+
+    # -- preemption checkpoint ------------------------------------------------
+    def save_meta(self, state: TrainState):
+        self._save(self.meta_dir / "checkpoint", state)
+
+    def has_meta(self) -> bool:
+        return (self.meta_dir / "checkpoint").exists()
+
+    def restore_meta(self, template: TrainState) -> TrainState:
+        return self._restore(self.meta_dir / "checkpoint", template)
+
+    # -- best checkpoints ------------------------------------------------------
+    def save_best(self, state: TrainState, kind: str):
+        assert kind in ("train", "eval")
+        self._save(self.best_dir / f"best_{kind}", state)
+
+    def restore_best(self, template: TrainState, kind: str) -> TrainState:
+        return self._restore(self.best_dir / f"best_{kind}", template)
+
+    def restore_any(self, template: TrainState, path=None) -> TrainState:
+        """Restore from an explicit path, else best_eval, best_train, meta."""
+        if path is not None:
+            return self._restore(Path(path).absolute(), template)
+        for cand in (
+            self.best_dir / "best_eval",
+            self.best_dir / "best_train",
+            self.meta_dir / "checkpoint",
+        ):
+            if cand.exists():
+                return self._restore(cand, template)
+        raise FileNotFoundError(f"no checkpoint under {self.workdir}")

@@ -1,0 +1,84 @@
+"""Jitted train/eval step builders with mesh sharding.
+
+One `jit` covers loss + backward + clip + Adam + EMA (the reference splits
+these across Python in `/root/reference/score_sde_pytorch/losses.py:154-184`).
+Batches are sharded over the mesh 'data' axis; XLA inserts the gradient
+all-reduce over ICI. Eval uses the EMA parameters (the reference's
+store/copy_to/restore swap collapses to just passing state.ema.params).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..diffusion.ema import ema_update
+from ..diffusion.losses import get_sde_loss_fn
+from .state import TrainState, build_optimizer
+from ..parallel.mesh import batch_sharding, replicate_sharding, params_shardings
+
+
+def make_train_step(config, sde, model, mesh=None, donate=True):
+    """Returns train_step(state, batch, rng) -> (state, loss)."""
+    loss_fn = get_sde_loss_fn(
+        sde, model, train=True, condition=tuple(config.model.condition)
+    )
+    tx = build_optimizer(config)
+
+    def step_fn(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            ema=ema_update(state.ema, new_params),
+        )
+        return new_state, loss
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=donate_argnums)
+    return jax.jit(
+        step_fn,
+        donate_argnums=donate_argnums,
+        in_shardings=(None, batch_sharding(mesh), replicate_sharding(mesh)),
+    )
+
+
+def make_eval_step(config, sde, model, mesh=None):
+    """Returns eval_step(state, batch, rng) -> loss, computed with EMA params
+    (`/root/reference/score_sde_pytorch/losses.py:176-183`)."""
+    loss_fn = get_sde_loss_fn(
+        sde, model, train=False, condition=tuple(config.model.condition)
+    )
+
+    def step_fn(state: TrainState, batch, rng):
+        return loss_fn(state.ema.params, batch, rng)
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    return jax.jit(
+        step_fn,
+        in_shardings=(None, batch_sharding(mesh), replicate_sharding(mesh)),
+    )
+
+
+def shard_train_state(state: TrainState, mesh) -> TrainState:
+    """Place params/opt/EMA on the mesh (FSDP over 'model' where divisible,
+    replicated over 'data')."""
+    from jax.sharding import NamedSharding
+    from ..parallel.mesh import param_spec
+
+    msize = mesh.shape["model"]
+
+    def place(x):
+        return jax.device_put(x, NamedSharding(mesh, param_spec(None, x, msize)))
+
+    # Adam mu/nu share param shapes, so the same FSDP rule applies leaf-wise;
+    # scalars (step, count) land replicated via the P() fallback.
+    return jax.tree.map(place, state)
