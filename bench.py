@@ -1,0 +1,117 @@
+"""Benchmark: L=128 6D backbone samples/min/chip at 1000 PC steps.
+
+The north-star metric from BASELINE.json (the reference publishes no numbers;
+target >= 25 samples/min/chip on TPU v5e). Runs the flagship text-conditioned
+L=128 sampler (VESDE, reverse-diffusion predictor + 1 Langevin corrector step,
+NFE = 2 per PC step) end-to-end on the available device and prints ONE JSON
+line: {"metric", "value", "unit", "vs_baseline"}.
+
+Usage: python bench.py [--steps 1000] [--batch 16] [--repeats 2] [--quick]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--repeats", type=int, default=2)
+    p.add_argument("--quick", action="store_true", help="tiny shapes (CI smoke)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from text2protein_tpu.config import load_config
+    from text2protein_tpu.diffusion import get_sde
+    from text2protein_tpu.diffusion.sampling import get_pc_sampler
+    from text2protein_tpu.models import build_model
+
+    if args.quick:
+        cfg_dict = {
+            "data": {"max_res_num": 16, "num_channels": 5},
+            "model": {"condition": ["length"], "nf": 8, "ch_mult": [1, 2],
+                      "num_res_blocks": 1, "attn_resolutions": [8],
+                      "n_heads": 2, "context_dim": 16, "num_scales": 100},
+        }
+        args.steps = min(args.steps, 100)
+        args.batch = min(args.batch, 2)
+    else:
+        cfg_dict = "configs/bench_l128.yml"
+    config = load_config(cfg_dict)
+
+    b = args.batch
+    n = config.data.max_res_num
+    c = config.data.num_channels
+
+    sde, eps = get_sde(config)
+    model = build_model(config)
+
+    rng = np.random.RandomState(0)
+    t_tokens, d_ctx = 64, config.model.context_dim
+    x0 = jnp.zeros((b, n, n, c), jnp.float32)
+    context = jnp.asarray(rng.randn(b, t_tokens, d_ctx).astype(np.float32))
+    context_mask = jnp.asarray(np.ones((b, t_tokens), bool))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, x0, jnp.zeros((b,)),
+        context=context, context_mask=context_mask, train=False,
+    )["params"]
+
+    # length condition: all samples at L=128 (the metric's shape)
+    lengths = np.full((b,), min(128, n), np.int32)
+    v = np.zeros((b, n, n), bool)
+    for i, l in enumerate(lengths):
+        v[i, :l, :l] = True
+    condition = {"length": jnp.asarray(v)}
+
+    sampler = get_pc_sampler(
+        sde, model, (b, n, n, c),
+        predictor=config.sampling.predictor,
+        corrector=config.sampling.corrector,
+        snr=config.sampling.snr,
+        n_steps=config.sampling.n_steps_each,
+        denoise=config.sampling.noise_removal,
+        eps=eps,
+        num_steps=args.steps,
+    )
+
+    # compile
+    out, nfe = sampler(params, jax.random.PRNGKey(0), condition=condition,
+                       context=context, context_mask=context_mask)
+    jax.block_until_ready(out)
+
+    times = []
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        out, nfe = sampler(params, jax.random.PRNGKey(r + 1),
+                           condition=condition, context=context,
+                           context_mask=context_mask)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    assert np.isfinite(np.asarray(out)).all(), "sampler produced non-finite values"
+    dt = min(times)
+    n_chips = jax.local_device_count()
+    samples_per_min_per_chip = b / dt * 60.0 / n_chips
+    baseline = 25.0  # BASELINE.json north star
+    print(json.dumps({
+        "metric": f"L{n}_samples_per_min_per_chip_at_{args.steps}_pc_steps",
+        "value": round(samples_per_min_per_chip, 3),
+        "unit": "samples/min/chip",
+        "vs_baseline": round(samples_per_min_per_chip / baseline, 3),
+    }))
+    print(
+        f"# batch={b} steps={args.steps} nfe={int(nfe)} time={dt:.2f}s "
+        f"platform={jax.devices()[0].platform} chips={n_chips}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

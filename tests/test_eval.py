@@ -1,0 +1,91 @@
+"""Evaluation tier: Kabsch, TM-score sanity, 6D MSE."""
+
+import numpy as np
+
+from text2protein_tpu.eval.tmscore import kabsch, tm_score, d0_for_length
+from text2protein_tpu.eval.coords_compare import mse_6d, infer_length_from_padding
+
+
+def make_ca_trace(L=60, seed=0):
+    """Random-walk CA trace with realistic 3.8 A virtual bonds."""
+    rng = np.random.RandomState(seed)
+    steps = rng.randn(L, 3)
+    steps /= np.linalg.norm(steps, axis=1, keepdims=True)
+    # smooth the walk so it is chain-like
+    for i in range(1, L):
+        steps[i] = 0.6 * steps[i - 1] + 0.4 * steps[i]
+        steps[i] /= np.linalg.norm(steps[i])
+    return np.cumsum(3.8 * steps, axis=0)
+
+
+def random_rt(seed=0):
+    rng = np.random.RandomState(seed)
+    a = rng.randn(3, 3)
+    q, _ = np.linalg.qr(a)
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    t = rng.randn(3) * 10
+    return q, t
+
+
+def test_kabsch_exact_recovery():
+    p = make_ca_trace(40)
+    r, t = random_rt(3)
+    q = p @ r.T + t
+    r2, t2 = kabsch(p, q)
+    np.testing.assert_allclose(p @ r2.T + t2, q, atol=1e-8)
+    np.testing.assert_allclose(r2, r, atol=1e-8)
+
+
+def test_tm_score_self_is_one():
+    x = make_ca_trace(80)
+    r, t = random_rt(1)
+    y = x @ r.T + t  # rigid transform: TM = 1
+    assert tm_score(x, y) > 0.999
+
+
+def test_tm_score_noise_degrades():
+    x = make_ca_trace(80, seed=2)
+    rng = np.random.RandomState(0)
+    tm_small = tm_score(x + rng.randn(*x.shape) * 0.5, x)
+    tm_big = tm_score(x + rng.randn(*x.shape) * 6.0, x)
+    assert tm_small > 0.7
+    assert tm_big < tm_small
+    assert 0.0 <= tm_big <= 1.0
+
+
+def test_tm_score_unrelated_is_low():
+    x = make_ca_trace(80, seed=3)
+    y = make_ca_trace(80, seed=7)
+    assert tm_score(x, y) < 0.45  # random pairs score < 0.5 by convention
+
+
+def test_tm_score_length_normalization():
+    x = make_ca_trace(50, seed=4)
+    # fragment alignment: normalize by the longer target -> lower score
+    frag = x[:25]
+    full = tm_score(frag, frag)
+    assert full > 0.999
+    partial = tm_score(frag, x)
+    assert 0.3 < partial < 0.7  # 25 perfect pairs / d0(50) normalization
+
+
+def test_d0_formula():
+    assert d0_for_length(10) == 0.5
+    np.testing.assert_allclose(
+        d0_for_length(128), 1.24 * (113) ** (1 / 3) - 1.8, rtol=1e-9
+    )
+
+
+def test_mse_and_length_inference():
+    c, n, l = 5, 16, 9
+    gt = np.zeros((c, n, n), np.float32)
+    sample = gt.copy()
+    sample[-1, :l, :l] = 1.0
+    assert infer_length_from_padding(sample) == l
+    sample2 = sample.copy()
+    sample2[0, :l, :l] += 0.5
+    # only the first 4 channels on the crop matter
+    assert abs(mse_6d(sample2, gt, l) - 0.25 / 4) < 1e-6
+    sample2[0, l:, l:] = 99.0
+    assert abs(mse_6d(sample2, gt, l) - 0.25 / 4) < 1e-6

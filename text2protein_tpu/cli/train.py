@@ -1,0 +1,221 @@
+"""Training CLI — `python -m text2protein_tpu.cli.train <config> [...]`.
+
+Same workflow as `/root/reference/train.py:22-266`: config -> dataset 95/5
+split -> train loop with per-epoch eval, preemption checkpoint, best-loss
+checkpoints, optional snapshot sampling — re-architected around one jitted
+sharded train step and host-side data loading.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+import shutil
+import time
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="Train the score model")
+    p.add_argument("config", type=str)
+    p.add_argument("--resume", type=str, default=None,
+                   help="workdir to resume from (reference --resume)")
+    p.add_argument("--local_test", action="store_true",
+                   help="cap dataset at 200 records")
+    p.add_argument("--workdir_root", type=str, default="training")
+    p.add_argument("--max_steps", type=int, default=None,
+                   help="override training.n_iters (smoke runs)")
+    return p
+
+
+def split_dataset(n, seed, eval_frac=0.05):
+    """95/5 split with a fixed seed (`/root/reference/train.py:44-51`)."""
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(n)
+    n_eval = max(1, int(n * eval_frac))
+    return perm[n_eval:], perm[:n_eval]
+
+
+def batches(dataset, indices, batch_size, max_len, rng, shuffle=True,
+            drop_last=True):
+    from ..data import make_batch
+
+    order = rng.permutation(indices) if shuffle else indices
+    for i in range(0, len(order) - (batch_size - 1 if drop_last else 0),
+                   batch_size):
+        recs = [dataset[int(j)] for j in order[i : i + batch_size]]
+        if len(recs) < batch_size and drop_last:
+            return
+        yield make_batch(recs, max_len)
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import load_config, save_config
+    from ..conditioning import batch_to_device_arrays, get_condition_from_batch
+    from ..data import ProteinProcessedDataset
+    from ..diffusion import get_sde
+    from ..diffusion.sampling import get_sampling_fn
+    from ..models import build_model
+    from ..parallel.mesh import make_mesh, shard_batch
+    from ..text import build_text_encoder
+    from ..training import (
+        CheckpointManager,
+        create_train_state,
+        make_train_step,
+        make_eval_step,
+    )
+    from ..training.state import param_count
+    from ..training.steps import shard_train_state
+    from ..utils.logging import MetricsWriter
+
+    config = load_config(args.config)
+    if args.local_test:
+        config.training.batch_size = min(config.training.batch_size, 2)
+
+    # Workdir: training/{config}/{timestamp} (`/root/reference/train.py:75-95`)
+    cfg_name = Path(args.config).stem
+    if args.resume:
+        workdir = Path(args.resume)
+    else:
+        stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+        workdir = Path(args.workdir_root) / cfg_name / stamp
+    workdir.mkdir(parents=True, exist_ok=True)
+    save_config(config, workdir / "config.yml")
+
+    # Data
+    dataset = ProteinProcessedDataset(config.data.processed_dataset_path)
+    if args.local_test:
+        dataset.data_paths = dataset.data_paths[:200]
+    n_total = len(dataset)
+    assert n_total >= 2, f"no records in {config.data.processed_dataset_path}"
+    train_idx, eval_idx = split_dataset(n_total, config.seed)
+    (workdir / "train_ids.txt").write_text(
+        "\n".join(dataset.data_paths[i].split(".")[0] for i in train_idx)
+    )
+    (workdir / "test_ids.txt").write_text(
+        "\n".join(dataset.data_paths[i].split(".")[0] for i in eval_idx)
+    )
+
+    # Mesh + model + state
+    mesh = make_mesh(config.mesh.data, config.mesh.model)
+    sde, sampling_eps = get_sde(config)
+    model = build_model(config)
+    encoder = build_text_encoder(config)
+
+    host_rng = np.random.RandomState(config.seed)
+    bs = config.training.batch_size
+    max_len = config.data.max_res_num
+
+    def prepare(batch, rng_key):
+        arrays = batch_to_device_arrays(batch, config, rng=rng_key)
+        emb, emb_mask = encoder.encode(batch["caption"])
+        arrays["context"] = jnp.asarray(emb)
+        arrays["context_mask"] = jnp.asarray(emb_mask)
+        return shard_batch(mesh, arrays)
+
+    first = next(batches(dataset, train_idx, bs, max_len, host_rng))
+    init_batch = prepare(first, jax.random.PRNGKey(0))
+    state = create_train_state(config, model, jax.random.PRNGKey(config.seed),
+                               init_batch)
+    state = shard_train_state(state, mesh)
+    print(f"model params: {param_count(state.params)/1e6:.2f}M  "
+          f"mesh: {dict(mesh.shape)}  records: {n_total}")
+
+    ckpt = CheckpointManager(workdir)
+    if ckpt.has_meta():
+        state = ckpt.restore_meta(state)
+        print(f"resumed from preemption checkpoint at step {int(state.step)}")
+
+    train_step = make_train_step(config, sde, model, mesh=mesh)
+    eval_step = make_eval_step(config, sde, model, mesh=mesh)
+
+    writer = MetricsWriter(workdir / "tb")
+    rng = jax.random.PRNGKey(config.seed + 1)
+    best_train, best_eval = np.inf, np.inf
+    n_iters = args.max_steps or config.training.n_iters
+    log_freq = config.training.log_freq
+
+    step = int(state.step)
+    epoch = 0
+    t_last = time.time()
+    while step < n_iters and epoch < config.training.epochs:
+        epoch += 1
+        # ---- train epoch
+        epoch_losses = []
+        for batch in batches(dataset, train_idx, bs, max_len, host_rng):
+            rng, k_mask, k_step = jax.random.split(rng, 3)
+            dbatch = prepare(batch, k_mask)
+            state, loss = train_step(state, dbatch, k_step)
+            step = int(state.step)
+            loss = float(loss)
+            epoch_losses.append(loss)
+            if step % log_freq == 0:
+                dt = time.time() - t_last
+                t_last = time.time()
+                writer.scalar("training_loss", loss, step)
+                print(f"step {step} loss {loss:.5f} "
+                      f"({log_freq * bs / max(dt, 1e-9):.1f} samples/s)")
+            if step >= n_iters:
+                break
+        avg_train = float(np.mean(epoch_losses)) if epoch_losses else np.inf
+        writer.scalar("avg_training_loss", avg_train, step)
+
+        # ---- preemption checkpoint every epoch (`train.py:185`)
+        ckpt.save_meta(state)
+
+        # ---- eval epoch (EMA-swapped)
+        eval_losses = []
+        last_eval_batch = None
+        for batch in batches(dataset, eval_idx, bs, max_len, host_rng,
+                             shuffle=False, drop_last=False):
+            if len(batch["id"]) != bs:
+                continue
+            rng, k_mask, k_step = jax.random.split(rng, 3)
+            dbatch = prepare(batch, k_mask)
+            eval_losses.append(float(eval_step(state, dbatch, k_step)))
+            last_eval_batch = batch
+        avg_eval = float(np.mean(eval_losses)) if eval_losses else np.inf
+        writer.scalar("avg_eval_loss", avg_eval, step)
+        print(f"epoch {epoch}: avg_train {avg_train:.5f} avg_eval {avg_eval:.5f}")
+
+        # ---- snapshot sampling (`train.py:198-222`)
+        if config.training.snapshot_sampling and last_eval_batch is not None:
+            shape = (bs, max_len, max_len, config.data.num_channels)
+            sampling_fn = get_sampling_fn(config, sde, model, shape, sampling_eps)
+            rng, k_cond, k_samp = jax.random.split(rng, 3)
+            condition = get_condition_from_batch(config, last_eval_batch,
+                                                 rng=k_cond)
+            emb, emb_mask = encoder.encode(last_eval_batch["caption"])
+            sample, _ = sampling_fn(
+                state.ema.params, k_samp, condition=condition,
+                context=jnp.asarray(emb), context_mask=jnp.asarray(emb_mask),
+            )
+            sdir = workdir / "samples" / f"epoch_{epoch}"
+            sdir.mkdir(parents=True, exist_ok=True)
+            with open(sdir / "sample.pkl", "wb") as f:
+                # (B, C, N, N) layout for reference-compatible consumers
+                pickle.dump(np.asarray(sample).transpose(0, 3, 1, 2), f)
+
+        # ---- best checkpoints (`train.py:224-255`)
+        if avg_train < best_train:
+            best_train = avg_train
+            ckpt.save_best(state, "train")
+        if avg_eval < best_eval:
+            best_eval = avg_eval
+            ckpt.save_best(state, "eval")
+
+    writer.close()
+    print(f"done at step {step}; workdir {workdir}")
+    return workdir
+
+
+if __name__ == "__main__":
+    main()

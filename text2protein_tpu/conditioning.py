@@ -98,29 +98,65 @@ def length_mask(lengths, n):
 
 def get_condition_from_batch(config, batch, mask_info=None, rng=None):
     """Extract the sampler's condition dict from a batch
-    (`/root/reference/utils.py:83-106`). NHWC layout for ss/coords."""
+    (`/root/reference/utils.py:83-106`). Accepts host batches in the
+    reference's channel-first (B, C, N, N) record layout or device NHWC;
+    returned arrays are NHWC."""
     out = {}
     n = config.data.max_res_num
+    nc = config.data.num_channels
+    coords = jnp.asarray(batch["coords_6d"])
+    if coords.ndim == 4 and coords.shape[-1] != nc and coords.shape[1] == nc:
+        coords = coords.transpose(0, 2, 3, 1)  # channel-first -> NHWC
     for c in config.model.condition:
         if c == "length":
             out[c] = length_mask(jnp.asarray(batch["length"]), n)
         elif c == "ss":
-            out[c] = jnp.asarray(batch["coords_6d"])[..., 4:7]
+            out[c] = coords[..., 4:7]
         elif c == "inpainting":
             if mask_info is not None:
-                mask = selected_mask_batch(
-                    mask_info, batch["coords_6d"].shape[0], n
-                )
+                mask = selected_mask_batch(mask_info, coords.shape[0], n)
             else:
                 assert rng is not None, "random inpainting masks need an rng"
                 mask = random_mask_batch(
                     rng, jnp.asarray(batch["length"]), n, config
                 )
-            out[c] = {
-                "coords_6d": jnp.asarray(batch["coords_6d"]),
-                "mask_inpaint": mask,
-            }
+            out[c] = {"coords_6d": coords, "mask_inpaint": mask}
     return out
+
+
+def get_conditions_from_pdb(pdb, config, chain="A", mask_info=None, batch_size=8):
+    """Build a sampler condition from a real PDB chain
+    (`/root/reference/utils.py:122-137`): isolate the chain, featurize it, and
+    replicate across the batch."""
+    from .data.dataset import featurize_pdb_file, make_batch
+    from .data.pdbio import read_pdb, write_backbone_pdb
+    import tempfile
+    from pathlib import Path
+
+    st = read_pdb(pdb).filter_chain(chain)
+    with tempfile.TemporaryDirectory() as tmp:
+        # Re-serialize the isolated chain, then run the standard featurizer.
+        coords, seq = [], []
+        for r in st.amino_residues():
+            n_, ca_, c_ = r.atom("N"), r.atom("CA"), r.atom("C")
+            if n_ is None or ca_ is None or c_ is None:
+                continue
+            coords.append([n_, ca_, c_])
+            from .data.vocab import THREE_TO_ONE, NON_STANDARD_TO_STANDARD
+
+            name = r.name if r.name in THREE_TO_ONE else NON_STANDARD_TO_STANDARD.get(r.name, "UNK")
+            seq.append(THREE_TO_ONE[name])
+        path = Path(tmp) / f"{Path(pdb).stem}_chain_{chain}.pdb"
+        write_backbone_pdb(path, np.asarray(coords), seq="".join(seq), chain=chain)
+        rec = featurize_pdb_file(
+            path,
+            config.data.min_res_num,
+            config.data.max_res_num,
+            ss_constraints=config.data.num_channels == 8,
+        )
+    assert rec is not None, f"{pdb} chain {chain} rejected by the featurizer"
+    batch = make_batch([rec] * batch_size, config.data.max_res_num)
+    return get_condition_from_batch(config, batch, mask_info=mask_info)
 
 
 def get_mask_all_lengths(config, batch_size=16):

@@ -157,8 +157,10 @@ def write_backbone_pdb(path, coords, seq=None, chain="A"):
             if not np.isfinite([x, y, z]).all():
                 continue
             el = an[0]
+            # atom-name field (cols 13-16): 1-3 char names start at col 14
+            an_field = f" {an:<3s}" if len(an) < 4 else an
             lines.append(
-                f"ATOM  {serial:5d} {an:<4s}{res3:<3s} {chain}{i + 1:4d}    "
+                f"ATOM  {serial:5d} {an_field} {res3:>3s} {chain}{i + 1:4d}    "
                 f"{x:8.3f}{y:8.3f}{z:8.3f}{1.0:6.2f}{0.0:6.2f}          {el:>2s}"
             )
             serial += 1

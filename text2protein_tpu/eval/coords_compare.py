@@ -1,0 +1,71 @@
+"""6D-map MSE evaluation (`/root/reference/coords_compare.py:11-63`):
+sampled map vs ground-truth record on the real [:L, :L] crop, plus aggregate
+avg/min/max/std stats."""
+
+from __future__ import annotations
+
+import math
+import pickle
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+
+def infer_length_from_padding(sample_cnn: np.ndarray) -> int:
+    """Recover L from the padding channel: sqrt(#ones) must be an integer
+    (`/root/reference/sampling_rosetta.py:69-74`)."""
+    n_ones = int((sample_cnn[-1] > 0.5).sum())
+    l = int(round(math.sqrt(n_ones)))
+    if l * l != n_ones:
+        raise ValueError(f"padding channel is not a square: {n_ones} ones")
+    return l
+
+
+def mse_6d(sample_cnn: np.ndarray, gt_cnn: np.ndarray, num_res: int) -> float:
+    """Mean squared error over the geometry channels on the real crop."""
+    s = sample_cnn[:4, :num_res, :num_res]
+    g = gt_cnn[:4, :num_res, :num_res]
+    return float(np.mean((s - g) ** 2))
+
+
+def coord_compare(sample_dir, gt_dir, out_path=None) -> dict:
+    """Compare every sampled_{id}.pkl under sample_dir against the matching
+    ground-truth record; write avg/min/max/std yaml like the reference."""
+    from ..data import load_record
+
+    sample_dir = Path(sample_dir)
+    gt_dir = Path(gt_dir)
+    per_pdb = {}
+    for pkl_path in sorted(sample_dir.glob("sampled_*.pkl")):
+        pdb_id = pkl_path.stem[len("sampled_") :]
+        gt_path = None
+        for ext in (".npz", ".pt"):
+            cand = gt_dir / f"{pdb_id}{ext}"
+            if cand.exists():
+                gt_path = cand
+                break
+        if gt_path is None:
+            continue
+        with open(pkl_path, "rb") as f:
+            sample = np.asarray(pickle.load(f))
+        if sample.ndim == 4:
+            sample = sample[0]
+        rec = load_record(gt_path)
+        gt = rec["coords_6d"]
+        num_res = int(rec["mask_pair"].any(-1).sum())
+        per_pdb[pdb_id] = mse_6d(sample, gt, num_res)
+
+    values = np.array(list(per_pdb.values())) if per_pdb else np.array([np.nan])
+    stats = {
+        "per_pdb": {k: float(v) for k, v in per_pdb.items()},
+        "avg": float(np.mean(values)),
+        "min": float(np.min(values)),
+        "max": float(np.max(values)),
+        "std": float(np.std(values)),
+        "count": len(per_pdb),
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            yaml.safe_dump(stats, f)
+    return stats

@@ -47,9 +47,10 @@ def supports(q, k, v) -> bool:
     return _choose_block(tq, _DEFAULT_BQ) > 0 and _choose_block(tk, _DEFAULT_BK) > 0
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, bk, nk, masked):
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, bk, nk, masked, h):
     q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
     bq, d = q.shape
+    b_idx = pl.program_id(0) // h  # batch row of the (full) mask array
 
     m0 = jnp.full((bq, 1), -1e30, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
@@ -63,7 +64,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, bk, nk, masked
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bq, bk)
         if masked:
-            mb = mask_ref[0, pl.ds(i * bk, bk)].astype(jnp.float32)  # (bk,)
+            mb = mask_ref[b_idx, pl.ds(i * bk, bk)].astype(jnp.float32)  # (bk,)
             s = s + (mb[None, :] - 1.0) * 1e30  # masked -> -1e30
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -98,21 +99,21 @@ def flash_attention(q, k, v, scale=None, kv_mask=None):
     if masked:
         mr = kv_mask.astype(jnp.float32)  # (B, Tk)
     else:
-        mr = jnp.ones((b, 1), jnp.float32)  # placeholder, unread
+        mr = jnp.ones((b, 128), jnp.float32)  # placeholder, unread
 
     grid = (b * h, tq // bq)
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, bk=bk, nk=nk, masked=masked
+            _flash_kernel, scale=scale, bk=bk, nk=nk, masked=masked, h=h
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, mr.shape[1]), lambda i, j: (i // h, 0), memory_space=pltpu.VMEM
-            ),
+            # Full mask array resident in VMEM; the kernel indexes its batch
+            # row dynamically (a (1, Tk) block would violate TPU tiling).
+            pl.BlockSpec(mr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
