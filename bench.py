@@ -81,10 +81,11 @@ def main():
         num_steps=args.steps,
     )
 
-    # compile
+    # compile + warm run (materialize on host: on the axon tunnel platform
+    # block_until_ready alone does not guarantee completion)
     out, nfe = sampler(params, jax.random.PRNGKey(0), condition=condition,
                        context=context, context_mask=context_mask)
-    jax.block_until_ready(out)
+    np.asarray(out)
 
     times = []
     for r in range(args.repeats):
@@ -92,10 +93,10 @@ def main():
         out, nfe = sampler(params, jax.random.PRNGKey(r + 1),
                            condition=condition, context=context,
                            context_mask=context_mask)
-        jax.block_until_ready(out)
+        out_host = np.asarray(out)  # host transfer = true device sync
         times.append(time.perf_counter() - t0)
 
-    assert np.isfinite(np.asarray(out)).all(), "sampler produced non-finite values"
+    assert np.isfinite(out_host).all(), "sampler produced non-finite values"
     dt = min(times)
     n_chips = jax.local_device_count()
     samples_per_min_per_chip = b / dt * 60.0 / n_chips

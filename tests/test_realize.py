@@ -1,0 +1,147 @@
+"""Realization tier: NeRF builder geometry, restraint energies, and the
+end-to-end 6D -> 3D recovery test (minimize a real structure's own maps and
+check TM-score against the original backbone)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from text2protein_tpu.realize.geometry import (
+    build_backbone,
+    random_dihedrals,
+    dihedral4,
+    angle3,
+    B_N_CA,
+    B_CA_C,
+    B_C_N,
+    A_N_CA_C,
+)
+from text2protein_tpu.realize.restraints import (
+    inverse_scale,
+    restraints_from_maps,
+    restraint_energy,
+    clash_energy,
+)
+
+
+def test_backbone_bond_geometry():
+    key = jax.random.PRNGKey(0)
+    phi, psi, omega = random_dihedrals(key, 20)
+    bb = np.asarray(build_backbone(phi, psi, omega))
+    assert bb.shape == (20, 3, 3)
+    # bond lengths
+    n_ca = np.linalg.norm(bb[:, 1] - bb[:, 0], axis=-1)
+    ca_c = np.linalg.norm(bb[:, 2] - bb[:, 1], axis=-1)
+    c_n = np.linalg.norm(bb[1:, 0] - bb[:-1, 2], axis=-1)
+    np.testing.assert_allclose(n_ca, B_N_CA, atol=1e-4)
+    np.testing.assert_allclose(ca_c, B_CA_C, atol=1e-4)
+    np.testing.assert_allclose(c_n, B_C_N, atol=1e-4)
+    # CA-CA virtual bond ~3.8 A for trans peptides
+    ca_ca = np.linalg.norm(bb[1:, 1] - bb[:-1, 1], axis=-1)
+    assert np.all(ca_ca > 3.6) and np.all(ca_ca < 4.0)
+
+
+def test_backbone_torsions_roundtrip():
+    """Torsions measured on the built chain must equal the inputs."""
+    key = jax.random.PRNGKey(1)
+    phi, psi, omega = random_dihedrals(key, 12)
+    bb = build_backbone(phi, psi, omega)
+    n, ca, c = bb[:, 0], bb[:, 1], bb[:, 2]
+    got_phi = np.asarray(dihedral4(c[:-1], n[1:], ca[1:], c[1:]))
+    got_psi = np.asarray(dihedral4(n[:-1], ca[:-1], c[:-1], n[1:]))
+
+    def wrap(x):
+        return np.arctan2(np.sin(x), np.cos(x))
+
+    np.testing.assert_allclose(
+        wrap(got_phi - np.asarray(phi[1:])), 0, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        wrap(got_psi - np.asarray(psi[:-1])), 0, atol=1e-4
+    )
+
+
+def test_builder_is_differentiable():
+    phi, psi, omega = random_dihedrals(jax.random.PRNGKey(2), 10)
+
+    def loss(phi):
+        bb = build_backbone(phi, psi, omega)
+        return jnp.sum(bb**2)
+
+    g = jax.grad(loss)(phi)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def _gt_maps(L=24, seed=0):
+    """Ground-truth 6D maps of a synthetic backbone, in sampled-map format."""
+    from text2protein_tpu.data.featurize import featurize_structure
+
+    phi, psi, omega = random_dihedrals(jax.random.PRNGKey(seed), L)
+    bb = np.asarray(build_backbone(phi, psi, omega))
+    c6d, mask_pair, _ = featurize_structure(bb, np.ones(L), ss_constraints=False)
+    return bb, c6d
+
+
+def test_inverse_scale_roundtrip():
+    bb, c6d = _gt_maps(16)
+    L = 16
+    npz = inverse_scale(c6d, L)
+    # dist_abs must equal true Cb distances (clamped at 20)
+    from text2protein_tpu.realize.geometry import virtual_cb_from_backbone
+
+    cb = np.asarray(virtual_cb_from_backbone(jnp.asarray(bb)))
+    d = np.linalg.norm(cb[:, None] - cb[None, :], axis=-1)
+    d = np.minimum(d, 20.0)
+    off_diag = ~np.eye(L, dtype=bool)
+    np.testing.assert_allclose(
+        npz["dist_abs"][off_diag], d[off_diag], atol=1e-2
+    )
+
+
+def test_gt_backbone_has_near_zero_restraint_energy():
+    """A backbone evaluated against its own 6D maps must score ~0 restraint
+    energy (up to the dist clamp at dmax)."""
+    bb, c6d = _gt_maps(20, seed=3)
+    npz = inverse_scale(c6d, 20)
+    rst = restraints_from_maps(npz)
+    e = float(
+        restraint_energy(
+            jnp.asarray(bb), rst, 1e9, {"dist": 1.0, "orient": 1.0}
+        )
+    )
+    # random backbone for comparison
+    phi2, psi2, om2 = random_dihedrals(jax.random.PRNGKey(99), 20)
+    bb2 = build_backbone(phi2, psi2, om2)
+    e2 = float(restraint_energy(bb2, rst, 1e9, {"dist": 1.0, "orient": 1.0}))
+    assert e < 1e-2 * max(e2, 1.0), (e, e2)
+
+
+def test_clash_energy():
+    # straight chain: no clashes
+    phi, psi, om = random_dihedrals(jax.random.PRNGKey(0), 10)
+    bb = build_backbone(phi, psi, om)
+    e = float(clash_energy(bb))
+    # collapsed chain: all atoms at ~same point -> large clash
+    bb_collapsed = jnp.zeros_like(bb)
+    e_bad = float(clash_energy(bb_collapsed))
+    assert e_bad > e
+
+
+@pytest.mark.slow
+def test_minimization_recovers_structure():
+    """Minimizing against a ground-truth structure's own maps must recover a
+    backbone with high TM-score to the original (SURVEY.md §7 validation)."""
+    from text2protein_tpu.realize.minimize import run_minimization
+    from text2protein_tpu.eval.tmscore import tm_score
+
+    L = 24
+    bb_true, c6d = _gt_maps(L, seed=5)
+    npz = inverse_scale(c6d, L)
+    bb_min, e_best, energies = run_minimization(
+        npz, "A" * L, n_restarts=3, max_iter=60, seed=1
+    )
+    assert np.isfinite(bb_min).all()
+    tm = tm_score(bb_min[:, 1], bb_true[:, 1])
+    assert tm > 0.5, f"TM-score {tm} (energies {energies})"

@@ -1,0 +1,107 @@
+"""Backbone realization CLI — `python -m text2protein_tpu.cli.sampling_rosetta
+<config> [...]`.
+
+Same workflow and flag set as `/root/reference/sampling_rosetta.py:13-163`:
+for each sampled_*.pkl, recover L from the padding channel, clip + inverse-
+scale the maps, run `n_iter` minimization rounds (TPU-native torsion L-BFGS
+instead of PyRosetta MinMover), score each round, write per-round score.txt
+yamls and a best_run symlink.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+import time
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="Realize 3D backbones from 6D maps")
+    p.add_argument("config", type=str)
+    p.add_argument("--coords_path", type=str, required=True,
+                   help="directory of sampled_*.pkl maps")
+    p.add_argument("--pdb", type=str, default=None,
+                   help="input PDB for motif scaffolding (masked spans)")
+    p.add_argument("--mask_info", type=str, default=None)
+    p.add_argument("--n_iter", type=int, default=1)
+    p.add_argument("--n_restarts", type=int, default=5)
+    p.add_argument("--max_iter", type=int, default=150)
+    p.add_argument("--angle_std", type=float, default=10.0)
+    p.add_argument("--dist_std", type=float, default=2.0)
+    p.add_argument("--out_root", type=str, default="sampling/rosetta")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    from ..realize.minimize import run_minimization
+    from ..realize.restraints import inverse_scale
+
+    coords_dir = Path(args.coords_path)
+    pkls = sorted(coords_dir.glob("sampled_*.pkl"))
+    assert pkls, f"no sampled_*.pkl under {coords_dir}"
+
+    for pkl_path in pkls:
+        t0 = time.time()
+        pdb_id = pkl_path.stem[len("sampled_") :]
+        with open(pkl_path, "rb") as f:
+            coords_6d = np.asarray(pickle.load(f))
+        if coords_6d.ndim == 4:
+            coords_6d = coords_6d[0]
+
+        out_path = Path(args.out_root, coords_dir.parent.parent.stem, str(pdb_id))
+        out_path.mkdir(parents=True, exist_ok=True)
+
+        msk = np.round(coords_6d[-1])
+        L = np.sqrt((msk == 1).sum())
+        if not float(L).is_integer():
+            raise ValueError("Terminated due to improper masking channel...")
+        L = int(L)
+        seq = "A" * L
+
+        npz = inverse_scale(coords_6d, L)  # clips to [-1,1] + inverse-scales
+
+        scores = {}
+        best_e, best_run = np.inf, None
+        for n in range(args.n_iter):
+            run_dir = out_path / f"round_{n + 1}"
+            _, e_best, energies = run_minimization(
+                npz, seq, outPath=run_dir, seed=n,
+                n_restarts=args.n_restarts, max_iter=args.max_iter,
+                angle_std=args.angle_std, dist_std=args.dist_std,
+            )
+            scores[f"round_{n + 1}"] = {
+                "total_energy": float(e_best),
+                "avg_score_per_res": float(e_best / L),
+                "restart_energies": [float(x) for x in energies],
+            }
+            with open(run_dir / "score.txt", "w") as f:
+                yaml.safe_dump(scores[f"round_{n + 1}"], f)
+            if e_best < best_e:
+                best_e, best_run = e_best, run_dir
+
+        if best_run is not None:
+            link = out_path / "best_run"
+            if link.is_symlink() or link.exists():
+                link.unlink()
+            link.symlink_to(best_run.name)
+            # final structure alias (`sampling_rosetta.py:100`)
+            final = best_run / "structure_before_design.pdb"
+            if final.exists():
+                (out_path / f"rosetta_{pdb_id}.pdb").write_bytes(
+                    final.read_bytes()
+                )
+
+        print(f"{pdb_id}: L={L} best_E={best_e:.1f} "
+              f"({time.time() - t0:.1f}s, {args.n_iter} rounds)")
+
+    return 0
+
+
+if __name__ == "__main__":
+    main()
