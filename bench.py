@@ -23,6 +23,8 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--quick", action="store_true", help="tiny shapes (CI smoke)")
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args()
 
     import jax
@@ -45,6 +47,7 @@ def main():
     else:
         cfg_dict = "configs/bench_l128.yml"
     config = load_config(cfg_dict)
+    config.model.dtype = args.dtype
 
     b = args.batch
     n = config.data.max_res_num

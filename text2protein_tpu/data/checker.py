@@ -1,0 +1,66 @@
+"""Dataset sanity utilities (`/root/reference/file_checker.py:11-86`):
+caption <-> PDB set intersection report and caption backfill into processed
+records, plus a batch smoke check."""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+from .dataset import load_record, save_record, ProteinProcessedDataset, make_batch
+
+
+def compare_pdb_file_and_caption(dataset_path, caption_path) -> dict:
+    """Set intersection between PDB files on disk and caption entries."""
+    pdb_ids = set()
+    for root, _dirs, files in os.walk(dataset_path):
+        for f in files:
+            pdb_ids.add(Path(f).stem)
+    with open(caption_path) as f:
+        ann = json.load(f)
+    if isinstance(ann, dict):
+        caption_ids = set(ann.keys())
+    else:
+        caption_ids = {a["pdb_id"] for a in ann}
+    both = pdb_ids & caption_ids
+    return {
+        "num_pdbs": len(pdb_ids),
+        "num_captions": len(caption_ids),
+        "num_both": len(both),
+        "pdb_only": sorted(pdb_ids - caption_ids)[:20],
+        "caption_only": sorted(caption_ids - pdb_ids)[:20],
+    }
+
+
+def backfill_captions(processed_dir, caption_path) -> int:
+    """Write captions into already-processed records that lack them
+    (`/root/reference/file_checker.py:30-49`)."""
+    with open(caption_path) as f:
+        ann = json.load(f)
+    if not isinstance(ann, dict):
+        ann = {a["pdb_id"]: a["caption"] for a in ann}
+    n = 0
+    for p in Path(processed_dir).glob("*.npz"):
+        rec = load_record(p)
+        if not rec["caption"] and rec["id"] in ann:
+            rec["caption"] = ann[rec["id"]]
+            save_record(rec, p)
+            n += 1
+    return n
+
+
+def batch_smoke_check(processed_dir, max_len, batch_size=4) -> dict:
+    """Load a batch and report shapes/finite-ness (the reference's manual
+    smoke test, `file_checker.py:52-86`)."""
+    ds = ProteinProcessedDataset(processed_dir)
+    recs = [ds[i] for i in range(min(batch_size, len(ds)))]
+    batch = make_batch(recs, max_len)
+    return {
+        "num_records": len(ds),
+        "coords_6d": list(batch["coords_6d"].shape),
+        "finite": bool(np.isfinite(batch["coords_6d"]).all()),
+        "lengths": batch["length"].tolist(),
+    }

@@ -1,0 +1,129 @@
+"""Batch TM-score sweeps (`/root/reference/tm/TMalign.py:63-240`).
+
+Two comparison modes writing `tm-scores.json`:
+  * `train_gen_tm_compare` — designed structures vs (a sample of) the
+    training set: novelty sweep with per-design min/max/avg/std;
+  * `gt_gen_tm_compare` — designed structures vs their ground truths, with
+    the >0.5 / >0.4 / >0.3 bucket counts.
+
+Per-pair errors are counted and skipped (the reference swallows them,
+`TMalign.py:131-133`). Pairs run in a process pool — the reference runs them
+serially.
+"""
+
+from __future__ import annotations
+
+import json
+from concurrent.futures import ProcessPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+from .tmscore import run_tmalign, tm_score_from_pdbs
+
+
+def _score_pair(pair):
+    target, ref, use_native = pair
+    try:
+        if use_native:
+            return run_tmalign(target, ref)
+        return tm_score_from_pdbs(target, ref)
+    except Exception:
+        return None
+
+
+def train_gen_tm_compare(designed_paths, train_pdb_paths, out_path="tm-scores.json",
+                         max_train=100, use_native=True, num_workers=8):
+    """Novelty sweep: each design vs up to `max_train` training structures."""
+    train_pdb_paths = [Path(p) for p in train_pdb_paths][:max_train]
+    scores = []
+    samples = {}
+    with ProcessPoolExecutor(max_workers=num_workers) as ex:
+        for target in map(Path, designed_paths):
+            pairs = [(str(target), str(r), use_native) for r in train_pdb_paths]
+            vals = [v for v in ex.map(_score_pair, pairs) if v is not None]
+            if not vals:
+                continue
+            scores.extend(vals)
+            samples[f"sampled_{target.parent.parent.name}"] = {
+                "sample_min": float(min(vals)),
+                "sample_max": float(max(vals)),
+                "sample_avg": float(np.mean(vals)),
+                "sample_std": float(np.std(vals)),
+            }
+    out = {
+        "samples": samples,
+        "tm_max": float(max(scores)) if scores else 0.0,
+        "tm_min": float(min(scores)) if scores else 0.0,
+        "tm_avg": float(np.mean(scores)) if scores else 0.0,
+        "tm_std": float(np.std(scores)) if scores else 0.0,
+        "reference_count": len(train_pdb_paths),
+        "target_count": len(list(designed_paths)),
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=4)
+    return out
+
+
+def gt_gen_tm_compare(pairs, out_path="tm-scores.json", use_native=True,
+                      num_workers=8):
+    """Quality sweep: designed-vs-ground-truth with TM bucket counts.
+
+    Args:
+      pairs: iterable of (pdb_name, designed_path, gt_path).
+    """
+    scores = []
+    samples = {}
+    buckets = {"gt50": 0, "gt40": 0, "gt30": 0, "lt30": 0}
+    jobs = [(str(d), str(g), use_native) for _, d, g in pairs]
+    names = [n for n, _, _ in pairs]
+    with ProcessPoolExecutor(max_workers=num_workers) as ex:
+        for name, score in zip(names, ex.map(_score_pair, jobs)):
+            if score is None:
+                continue
+            scores.append(score)
+            samples[name] = float(score)
+            if score > 0.5:
+                buckets["gt50"] += 1
+            elif score > 0.4:
+                buckets["gt40"] += 1
+            elif score > 0.3:
+                buckets["gt30"] += 1
+            else:
+                buckets["lt30"] += 1
+    out = {
+        "samples": samples,
+        "tm_max": float(max(scores)) if scores else 0.0,
+        "tm_min": float(min(scores)) if scores else 0.0,
+        "tm_avg": float(np.mean(scores)) if scores else 0.0,
+        "tm_std": float(np.std(scores)) if scores else 0.0,
+        "reference_count": len(names),
+        **buckets,
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=4)
+    return out
+
+
+def reu_stats(score_files):
+    """Aggregate avg_score_per_res across designs
+    (`/root/reference/play.py:63-86` / `sampling_rosetta.py:149`)."""
+    import yaml
+
+    vals = []
+    for p in map(Path, score_files):
+        try:
+            with open(p) as f:
+                d = yaml.safe_load(f)
+            vals.append(float(d["avg_score_per_res"]))
+        except Exception:
+            continue
+    if not vals:
+        return {"count": 0}
+    return {
+        "count": len(vals),
+        "avg": float(np.mean(vals)),
+        "min": float(np.min(vals)),
+        "max": float(np.max(vals)),
+        "std": float(np.std(vals)),
+    }

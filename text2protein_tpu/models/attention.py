@@ -22,10 +22,11 @@ from ..ops.attention import dot_product_attention
 
 class GEGLU(nn.Module):
     dim_out: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.dim_out * 2)(x)
+        x = nn.Dense(self.dim_out * 2, dtype=self.dtype)(x)
         x, gate = jnp.split(x, 2, axis=-1)
         return x * nn.gelu(gate)
 
@@ -34,17 +35,18 @@ class FeedForward(nn.Module):
     mult: int = 4
     glu: bool = True
     dropout: float = 0.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train=False):
         dim = x.shape[-1]
         inner = int(dim * self.mult)
         if self.glu:
-            x = GEGLU(inner)(x)
+            x = GEGLU(inner, dtype=self.dtype)(x)
         else:
-            x = nn.gelu(nn.Dense(inner)(x))
+            x = nn.gelu(nn.Dense(inner, dtype=self.dtype)(x))
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
-        return nn.Dense(dim)(x)
+        return nn.Dense(dim, dtype=self.dtype)(x)
 
 
 class CrossAttention(nn.Module):
@@ -54,6 +56,7 @@ class CrossAttention(nn.Module):
     heads: int = 8
     dim_head: int = 64
     dropout: float = 0.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, context=None, context_mask=None, train=False):
@@ -62,9 +65,9 @@ class CrossAttention(nn.Module):
         ctx = x if context is None else context
         tk = ctx.shape[1]
 
-        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
+        q = nn.Dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(x)
+        k = nn.Dense(inner, use_bias=False, name="to_k", dtype=self.dtype)(ctx)
+        v = nn.Dense(inner, use_bias=False, name="to_v", dtype=self.dtype)(ctx)
 
         q = q.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         k = k.reshape(b, tk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
@@ -74,7 +77,7 @@ class CrossAttention(nn.Module):
             q, k, v, scale=self.dim_head**-0.5, kv_mask=context_mask
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
-        out = nn.Dense(x.shape[-1], name="to_out")(out)
+        out = nn.Dense(x.shape[-1], name="to_out", dtype=self.dtype)(out)
         return nn.Dropout(self.dropout)(out, deterministic=not train)
 
 
@@ -83,24 +86,27 @@ class BasicTransformerBlock(nn.Module):
     d_head: int
     dropout: float = 0.0
     gated_ff: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, context=None, context_mask=None, train=False):
+        ln = lambda name: nn.LayerNorm(name=name, dtype=jnp.float32)
         x = CrossAttention(
             heads=self.n_heads, dim_head=self.d_head, dropout=self.dropout,
-            name="attn1",
-        )(nn.LayerNorm(name="norm1")(x), train=train) + x
+            name="attn1", dtype=self.dtype,
+        )(ln("norm1")(x), train=train) + x
         x = CrossAttention(
             heads=self.n_heads, dim_head=self.d_head, dropout=self.dropout,
-            name="attn2",
+            name="attn2", dtype=self.dtype,
         )(
-            nn.LayerNorm(name="norm2")(x),
+            ln("norm2")(x),
             context=context,
             context_mask=context_mask,
             train=train,
         ) + x
-        x = FeedForward(glu=self.gated_ff, dropout=self.dropout, name="ff")(
-            nn.LayerNorm(name="norm3")(x), train=train
+        x = FeedForward(glu=self.gated_ff, dropout=self.dropout, name="ff",
+                        dtype=self.dtype)(
+            ln("norm3")(x), train=train
         ) + x
         return x
 
@@ -114,6 +120,7 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     dropout: float = 0.0
     remat: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, context=None, context_mask=None, train=False):
@@ -122,8 +129,10 @@ class SpatialTransformer(nn.Module):
         x_in = x
         # Reference uses 32 groups unconditionally (channels are always >=128
         # there); capped for small channel counts.
-        x = nn.GroupNorm(num_groups=min(32, c), epsilon=1e-6, name="norm")(x)
-        x = nn.Dense(inner, name="proj_in")(x)  # 1x1 conv == Dense in NHWC
+        x = nn.GroupNorm(
+            num_groups=min(32, c), epsilon=1e-6, dtype=jnp.float32, name="norm"
+        )(x)
+        x = nn.Dense(inner, name="proj_in", dtype=self.dtype)(x)
         x = x.reshape(b, h * w, inner)
         block_cls = (
             nn.remat(BasicTransformerBlock, static_argnums=(4,))
@@ -135,6 +144,7 @@ class SpatialTransformer(nn.Module):
                 n_heads=self.n_heads,
                 d_head=self.d_head,
                 dropout=self.dropout,
+                dtype=self.dtype,
                 name=f"block_{d}",
             )(x, context, context_mask, train)
         x = x.reshape(b, h, w, inner)
@@ -143,5 +153,6 @@ class SpatialTransformer(nn.Module):
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             name="proj_out",
+            dtype=self.dtype,
         )(x)
-        return x + x_in
+        return x + x_in.astype(x.dtype)

@@ -52,7 +52,7 @@ def get_timestep_embedding(timesteps, embedding_dim, max_positions=10000):
     return emb
 
 
-def conv3x3(out_ch, init_scale=1.0, stride=1, name=None):
+def conv3x3(out_ch, init_scale=1.0, stride=1, name=None, dtype=None):
     return nn.Conv(
         out_ch,
         (3, 3),
@@ -60,34 +60,41 @@ def conv3x3(out_ch, init_scale=1.0, stride=1, name=None):
         padding="SAME",
         kernel_init=default_init(init_scale),
         bias_init=nn.initializers.zeros,
+        dtype=dtype,
         name=name,
     )
 
 
-def conv1x1(out_ch, init_scale=1.0, name=None):
+def conv1x1(out_ch, init_scale=1.0, name=None, dtype=None):
     return nn.Conv(
         out_ch,
         (1, 1),
         kernel_init=default_init(init_scale),
         bias_init=nn.initializers.zeros,
+        dtype=dtype,
         name=name,
     )
 
 
-def nin(out_dim, init_scale=0.1, name=None):
+def nin(out_dim, init_scale=0.1, name=None, dtype=None):
     """1x1 channel projection — in NHWC this is exactly a Dense over the last
     axis (the reference's einsum NIN, `layers.py:128-137`)."""
     return nn.Dense(
         out_dim,
         kernel_init=default_init(init_scale),
         bias_init=nn.initializers.zeros,
+        dtype=dtype,
         name=name,
     )
 
 
 def group_norm(ch, name=None):
-    """GroupNorm(min(ch // 4, 32), eps=1e-6) as used throughout the UNet."""
-    return nn.GroupNorm(num_groups=min(ch // 4, 32), epsilon=1e-6, name=name)
+    """GroupNorm(min(ch // 4, 32), eps=1e-6) as used throughout the UNet.
+    Always computes in float32 (mixed-precision safe); output follows the
+    input dtype through subsequent ops."""
+    return nn.GroupNorm(
+        num_groups=min(ch // 4, 32), epsilon=1e-6, dtype=jnp.float32, name=name
+    )
 
 
 def naive_upsample_2d(x, factor=2):
@@ -148,25 +155,27 @@ class ResnetBlockDDPM(nn.Module):
     dropout: float = 0.1
     skip_rescale: bool = False
     init_scale: float = 0.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, temb=None, train=False):
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
         h = self.act(group_norm(in_ch)(x))
-        h = conv3x3(out_ch)(h)
+        h = conv3x3(out_ch, dtype=self.dtype)(h)
         if temb is not None:
             h = h + nn.Dense(
-                out_ch, kernel_init=default_init(), bias_init=nn.initializers.zeros
+                out_ch, kernel_init=default_init(),
+                bias_init=nn.initializers.zeros, dtype=self.dtype,
             )(self.act(temb))[:, None, None, :]
         h = self.act(group_norm(out_ch)(h))
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
-        h = conv3x3(out_ch, init_scale=self.init_scale)(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype)(h)
         if in_ch != out_ch:
             if self.conv_shortcut:
-                x = conv3x3(out_ch)(x)
+                x = conv3x3(out_ch, dtype=self.dtype)(x)
             else:
-                x = nin(out_ch)(x)
+                x = nin(out_ch, dtype=self.dtype)(x)
         out = x + h
         return out / math.sqrt(2.0) if self.skip_rescale else out
 
@@ -182,6 +191,7 @@ class ResnetBlockBigGAN(nn.Module):
     dropout: float = 0.1
     skip_rescale: bool = True
     init_scale: float = 0.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, temb=None, train=False):
@@ -196,19 +206,20 @@ class ResnetBlockBigGAN(nn.Module):
             h = naive_downsample_2d(h)
             x = naive_downsample_2d(x)
 
-        h = conv3x3(out_ch)(h)
+        h = conv3x3(out_ch, dtype=self.dtype)(h)
         if temb is not None:
             h = h + nn.Dense(
-                out_ch, kernel_init=default_init(), bias_init=nn.initializers.zeros
+                out_ch, kernel_init=default_init(),
+                bias_init=nn.initializers.zeros, dtype=self.dtype,
             )(self.act(temb))[:, None, None, :]
         h = self.act(group_norm(out_ch)(h))
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
-        h = conv3x3(out_ch, init_scale=self.init_scale)(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype)(h)
 
         if in_ch != out_ch or self.up or self.down:
-            x = conv1x1(out_ch)(x)
+            x = conv1x1(out_ch, dtype=self.dtype)(x)
 
-        out = x + h
+        out = x.astype(h.dtype) + h
         return out / math.sqrt(2.0) if self.skip_rescale else out
 
 
@@ -219,16 +230,17 @@ class AttnBlock(nn.Module):
 
     skip_rescale: bool = False
     init_scale: float = 0.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         b, hh, ww, c = x.shape
         h = group_norm(c)(x)
-        q = nin(c)(h).reshape(b, 1, hh * ww, c)
-        k = nin(c)(h).reshape(b, 1, hh * ww, c)
-        v = nin(c)(h).reshape(b, 1, hh * ww, c)
+        q = nin(c, dtype=self.dtype)(h).reshape(b, 1, hh * ww, c)
+        k = nin(c, dtype=self.dtype)(h).reshape(b, 1, hh * ww, c)
+        v = nin(c, dtype=self.dtype)(h).reshape(b, 1, hh * ww, c)
         h = dot_product_attention(q, k, v, scale=c**-0.5)
         h = h.reshape(b, hh, ww, c)
-        h = nin(c, init_scale=self.init_scale)(h)
-        out = x + h
+        h = nin(c, init_scale=self.init_scale, dtype=self.dtype)(h)
+        out = x.astype(h.dtype) + h
         return out / math.sqrt(2.0) if self.skip_rescale else out

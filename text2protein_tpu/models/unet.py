@@ -50,6 +50,7 @@ class ScoreUNet(nn.Module):
     sigma_max: float = 100.0
     num_scales: int = 2000
     remat_attention: bool = True
+    dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
     def __call__(self, x, time_cond, context=None, context_mask=None, train=False):
@@ -74,6 +75,7 @@ class ScoreUNet(nn.Module):
                 dropout=self.dropout,
                 skip_rescale=self.skip_rescale,
                 init_scale=self.init_scale,
+                dtype=self.dtype,
             )
             if self.resblock_type == "biggan":
                 kwargs.update(up=up, down=down)
@@ -81,13 +83,15 @@ class ScoreUNet(nn.Module):
 
         def attn_pair(h, ctx, ctx_mask):
             h = layers.AttnBlock(
-                skip_rescale=self.skip_rescale, init_scale=self.init_scale
+                skip_rescale=self.skip_rescale, init_scale=self.init_scale,
+                dtype=self.dtype,
             )(h)
             h = SpatialTransformer(
                 n_heads=self.n_heads,
                 d_head=h.shape[-1] // self.n_heads,
                 dropout=self.dropout,
                 remat=self.remat_attention,
+                dtype=self.dtype,
             )(h, ctx, ctx_mask, train)
             return h
 
@@ -98,15 +102,19 @@ class ScoreUNet(nn.Module):
             self.nf * 4,
             kernel_init=layers.default_init(),
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
         )(temb)
         temb = nn.Dense(
             self.nf * 4,
             kernel_init=layers.default_init(),
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
         )(temb)
 
         # Stem.
-        h = layers.conv3x3(self.nf)(x.astype(jnp.float32))
+        h = layers.conv3x3(self.nf, dtype=self.dtype)(
+            x.astype(self.dtype or jnp.float32)
+        )
         hs = [h]
 
         # Down path.
@@ -138,9 +146,12 @@ class ScoreUNet(nn.Module):
                     h = resblock(up=True)(h, temb, train)
         assert not hs
 
-        # Output head.
+        # Output head (always float32: the score is divided by sigmas as
+        # small as sigma_min=0.01, which bf16 cannot represent accurately).
         h = act(layers.group_norm(h.shape[-1])(h))
-        h = layers.conv3x3(self.num_channels, init_scale=self.init_scale)(h)
+        h = layers.conv3x3(self.num_channels, init_scale=self.init_scale)(
+            h.astype(jnp.float32)
+        )
 
         if self.scale_by_sigma:
             sigmas = jnp.asarray(
@@ -173,4 +184,7 @@ def build_model(config) -> ScoreUNet:
         sigma_min=m.sigma_min,
         sigma_max=m.sigma_max,
         num_scales=m.num_scales,
+        dtype={"float32": None, "bfloat16": jnp.bfloat16}[
+            str(m.get("dtype", "float32"))
+        ],
     )
