@@ -1,0 +1,117 @@
+"""End-to-end CLI workflow: prepare_dataset -> train -> sampling_6d ->
+sampling_rosetta, on synthetic data with a tiny config (the reference's full
+user journey, SURVEY.md §3)."""
+
+import pickle
+
+import numpy as np
+import pytest
+import yaml
+
+from test_pipeline import ideal_helix_backbone  # reuse synthetic PDB maker
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    """PDB tree + captions + tiny config on disk."""
+    import json
+
+    from text2protein_tpu.data.pdbio import write_backbone_pdb
+
+    root = tmp_path_factory.mktemp("ws")
+    pdbs = root / "pdbs"
+    pdbs.mkdir()
+    rng = np.random.RandomState(0)
+    captions = []
+    for i in range(8):
+        L = int(rng.randint(8, 17))
+        bb = ideal_helix_backbone(L, seed=i)
+        seq = "".join(rng.choice(list("ACDEFGHIKLMNPQRSTVWY"), size=L))
+        write_backbone_pdb(pdbs / f"prot{i}.pdb", bb, seq=seq)
+        captions.append({"pdb_id": f"prot{i}", "caption": f"synthetic helix {i}"})
+    (root / "captions.json").write_text(json.dumps(captions))
+
+    config = {
+        "training": {"sde": "vesde", "batch_size": 2, "n_iters": 6,
+                      "epochs": 2, "log_freq": 2, "snapshot_sampling": False},
+        "data": {
+            "dataset_path": str(pdbs),
+            "caption_path": str(root / "captions.json"),
+            "processed_dataset_path": str(root / "processed"),
+            "min_res_num": 4, "max_res_num": 16, "num_channels": 5,
+        },
+        "model": {"condition": ["length"], "nf": 8, "ch_mult": [1, 2],
+                   "num_res_blocks": 1, "attn_resolutions": [8], "n_heads": 2,
+                   "context_dim": 16, "num_scales": 8, "dropout": 0.0},
+        "optim": {"warmup": 2},
+        "text": {"encoder": "hash", "max_tokens": 8, "pad_to_bucket": 8},
+        "seed": 0,
+    }
+    cfg_path = root / "tiny.yml"
+    cfg_path.write_text(yaml.safe_dump(config))
+    return root, cfg_path
+
+
+def test_full_cli_workflow(workspace, monkeypatch):
+    root, cfg_path = workspace
+    monkeypatch.chdir(root)
+
+    # ---- prepare_dataset
+    from text2protein_tpu.cli.prepare_dataset import main as prepare_main
+
+    n = prepare_main([str(cfg_path), "--num_workers", "1"])
+    assert n >= 6
+
+    # ---- train (2 epochs, 6 steps max)
+    from text2protein_tpu.cli.train import main as train_main
+
+    workdir = train_main([str(cfg_path), "--workdir_root", str(root / "training")])
+    assert (workdir / "checkpoints-meta" / "checkpoint").exists()
+    assert (workdir / "checkpoints" / "best_train").exists()
+    assert (workdir / "train_ids.txt").exists()
+    assert (workdir / "test_ids.txt").exists()
+    assert (workdir / "tb" / "metrics.jsonl").read_text().count("training_loss") > 0
+
+    # ---- resume from the preemption checkpoint
+    workdir2 = train_main([str(cfg_path), "--resume", str(workdir),
+                           "--max_steps", "8"])
+    assert workdir2 == workdir
+
+    # ---- sampling_6d from best_eval
+    from text2protein_tpu.cli.sampling_6d import main as sample_main
+
+    ckpt = workdir / "checkpoints" / "best_eval"
+    out_dir = sample_main([
+        str(cfg_path), str(ckpt), "--batch_size", "2", "--num_steps", "4",
+        "--processed_dir", str(root / "processed"), "--tag", "smoke",
+        "--select_length", "--length_index", "9",  # condition on L=12
+    ])
+    pkls = sorted(out_dir.glob("sampled_*.pkl"))
+    assert pkls, "no samples written"
+    with open(pkls[0], "rb") as f:
+        sample = pickle.load(f)
+    assert sample.shape[1] == 5 and sample.shape[2] == 16  # (1, C, N, N)
+
+    # ---- sampling_rosetta (realization) on the sampled maps
+    from text2protein_tpu.cli.sampling_rosetta import main as rosetta_main
+
+    rc = rosetta_main([
+        str(cfg_path), "--coords_path", str(out_dir), "--n_iter", "1",
+        "--n_restarts", "2", "--max_iter", "20",
+        "--out_root", str(root / "rosetta"),
+    ])
+    assert rc == 0
+    final_pdbs = list((root / "rosetta").rglob("structure_before_design.pdb"))
+    assert final_pdbs, "no realized structures"
+    score_files = list((root / "rosetta").rglob("score.txt"))
+    assert score_files
+    with open(score_files[0]) as f:
+        scores = yaml.safe_load(f)
+    assert "avg_score_per_res" in scores
+
+    # ---- coords_compare on the samples vs ground truth
+    from text2protein_tpu.eval.coords_compare import coord_compare
+
+    stats = coord_compare(out_dir, root / "processed",
+                          out_path=root / "mse.yml")
+    assert stats["count"] >= 1 and np.isfinite(stats["avg"])

@@ -105,6 +105,8 @@ def main(argv=None):
     captions = load_test_captions(ckpt_path, args.processed_dir)
     if not captions:
         captions = [(f"design_{i}", "") for i in range(b)]
+    if len(captions) < b:  # cycle to fill one full batch
+        captions = (captions * b)[:b]
 
     rng = jax.random.PRNGKey(config.seed)
     n_batches = max(len(captions) // b, 1)

@@ -62,6 +62,9 @@ def main(argv=None):
         if not float(L).is_integer():
             raise ValueError("Terminated due to improper masking channel...")
         L = int(L)
+        if L < 4:
+            print(f"{pdb_id}: skipping degenerate design (L={L})")
+            continue
         seq = "A" * L
 
         npz = inverse_scale(coords_6d, L)  # clips to [-1,1] + inverse-scales

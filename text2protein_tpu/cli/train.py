@@ -104,8 +104,22 @@ def main(argv=None):
         "\n".join(dataset.data_paths[i].split(".")[0] for i in eval_idx)
     )
 
-    # Mesh + model + state
-    mesh = make_mesh(config.mesh.data, config.mesh.model)
+    # Mesh + model + state. The data axis must divide the batch; use the
+    # largest compatible divisor of the available devices.
+    import math as _math
+
+    n_dev = len(jax.devices())
+    model_axis = max(int(config.mesh.model), 1)
+    data_req = (
+        int(config.mesh.data)
+        if int(config.mesh.data) != -1
+        else n_dev // model_axis
+    )
+    data_axis = _math.gcd(config.training.batch_size, data_req)
+    mesh = make_mesh(
+        data_axis, model_axis,
+        devices=jax.devices()[: data_axis * model_axis],
+    )
     sde, sampling_eps = get_sde(config)
     model = build_model(config)
     encoder = build_text_encoder(config)

@@ -25,7 +25,9 @@ def ema_init(params, decay: float = 0.999) -> EMAState:
     return EMAState(
         decay=decay,
         num_updates=jnp.zeros((), jnp.int32),
-        params=jax.tree.map(jnp.asarray, params),
+        # Real copies: aliasing the live params would break buffer donation
+        # in the jitted train step (same buffer donated twice).
+        params=jax.tree.map(jnp.copy, params),
     )
 
 
