@@ -25,6 +25,8 @@ def main():
     p.add_argument("--quick", action="store_true", help="tiny shapes (CI smoke)")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--metric", type=str, default="sample",
+                   choices=["sample", "train", "featurize"])
     args = p.parse_args()
 
     import jax
@@ -34,6 +36,13 @@ def main():
     from text2protein_tpu.diffusion import get_sde
     from text2protein_tpu.diffusion.sampling import get_pc_sampler
     from text2protein_tpu.models import build_model
+
+    if args.metric == "featurize":
+        bench_featurize(args)
+        return
+    if args.metric == "train":
+        bench_train(args)
+        return
 
     if args.quick:
         cfg_dict = {
@@ -115,6 +124,95 @@ def main():
         f"platform={jax.devices()[0].platform} chips={n_chips}",
         file=sys.stderr,
     )
+
+
+def bench_featurize(args):
+    """On-device batched 6D featurization throughput (structs/sec). The
+    reference featurizes on the host via a multiprocessing pool only
+    (`/root/reference/dataset.py:106-112`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from text2protein_tpu.data.featurize import get_coords6d_jax
+
+    L = 128
+    b = 512 if not args.quick else 16
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.randn(b, L, 3, 3).astype(np.float32) * 8.0)
+
+    feat = jax.jit(jax.vmap(get_coords6d_jax))
+    np.asarray(feat(xyz))  # compile + warm
+    times = []
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        out = feat(xyz)
+        np.asarray(out)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    structs_per_sec = b / dt
+    print(json.dumps({
+        "metric": f"on_device_6d_featurize_L{L}_structs_per_sec",
+        "value": round(structs_per_sec, 1),
+        "unit": "structs/sec",
+        "vs_baseline": None,
+    }))
+    print(f"# batch={b} time={dt * 1000:.1f}ms", file=sys.stderr)
+
+
+def bench_train(args):
+    """Training-step throughput (samples/sec/chip) on the flagship config."""
+    import jax
+    import jax.numpy as jnp
+
+    from text2protein_tpu.config import load_config
+    from text2protein_tpu.diffusion import get_sde
+    from text2protein_tpu.models import build_model
+    from text2protein_tpu.training import create_train_state, make_train_step
+
+    config = load_config("configs/bench_l128.yml")
+    config.model.dtype = args.dtype
+    b = args.batch
+    n = config.data.max_res_num
+    c = config.data.num_channels
+
+    rng = np.random.RandomState(0)
+    mask = np.zeros((b, n, n), bool)
+    mask[:, :128, :128] = True
+    coords = rng.uniform(-1, 1, (b, n, n, c)).astype(np.float32) * mask[..., None]
+    coords[..., -1] = mask
+    batch = {
+        "coords_6d": jnp.asarray(coords),
+        "mask_pair": jnp.asarray(mask),
+        "ss_spans": jnp.full((b, 32, 2), -1, jnp.int32),
+        "length": jnp.full((b,), 128, jnp.int32),
+        "context": jnp.asarray(
+            rng.randn(b, 64, config.model.context_dim).astype(np.float32)
+        ),
+        "context_mask": jnp.asarray(np.ones((b, 64), bool)),
+    }
+
+    sde, _ = get_sde(config)
+    model = build_model(config)
+    state = create_train_state(config, model, jax.random.PRNGKey(0), batch)
+    step = make_train_step(config, sde, model, donate=False)
+    state, loss = step(state, batch, jax.random.PRNGKey(1))
+    float(loss)  # sync
+
+    times = []
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        state, loss = step(state, batch, jax.random.PRNGKey(r + 2))
+        float(loss)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    n_chips = jax.local_device_count()
+    print(json.dumps({
+        "metric": f"L{n}_train_samples_per_sec_per_chip",
+        "value": round(b / dt / n_chips, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": None,
+    }))
+    print(f"# batch={b} step_time={dt * 1000:.1f}ms", file=sys.stderr)
 
 
 if __name__ == "__main__":
