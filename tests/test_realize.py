@@ -145,3 +145,32 @@ def test_minimization_recovers_structure():
     assert np.isfinite(bb_min).all()
     tm = tm_score(bb_min[:, 1], bb_true[:, 1])
     assert tm > 0.5, f"TM-score {tm} (energies {energies})"
+
+
+def test_relax_backbone_preserves_structure():
+    """The relax round (CA coordinate restraints) must not drift far from its
+    input pose and must not increase the total restraint energy much."""
+    from text2protein_tpu.realize.minimize import relax_backbone
+    from text2protein_tpu.realize.restraints import restraints_from_maps
+    from text2protein_tpu.eval.tmscore import tm_score
+
+    L = 20
+    bb_true, c6d = _gt_maps(L, seed=7)
+    npz = inverse_scale(c6d, L)
+    rst = restraints_from_maps(npz)
+    bb_rel, e_rel = relax_backbone(jnp.asarray(bb_true), rst, max_iter=30)
+    bb_rel = np.asarray(bb_rel)
+    assert np.isfinite(bb_rel).all()
+    tm = tm_score(bb_rel[:, 1], bb_true[:, 1])
+    assert tm > 0.8, tm
+
+
+def test_torsion_measurement_roundtrip():
+    from text2protein_tpu.realize.minimize import _torsions_from_backbone
+
+    phi, psi, om = random_dihedrals(jax.random.PRNGKey(3), 14)
+    bb = build_backbone(phi, psi, om)
+    phi2, psi2, om2 = _torsions_from_backbone(bb)
+    bb2 = build_backbone(phi2, psi2, om2)
+    # rebuilt chain is rigid-identical (same frame by construction)
+    np.testing.assert_allclose(np.asarray(bb2), np.asarray(bb), atol=1e-3)

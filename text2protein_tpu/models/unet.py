@@ -28,9 +28,11 @@ from flax import linen as nn
 
 from . import layers
 from .attention import SpatialTransformer
+from .registry import register_model, get_model
 from ..diffusion.sde import get_sigmas
 
 
+@register_model(name="ncsnpp")
 class ScoreUNet(nn.Module):
     num_channels: int
     max_res_num: int
@@ -164,9 +166,12 @@ class ScoreUNet(nn.Module):
 
 
 def build_model(config) -> ScoreUNet:
-    """Construct the score UNet from a reference-schema config."""
+    """Construct the score model named by `config.model.name` via the
+    registry (the reference hardcodes UNetModel at this point,
+    `/root/reference/score_sde_pytorch/utils.py:4-9`)."""
     m = config.model
-    return ScoreUNet(
+    cls = get_model(m.get("name", "ncsnpp"))
+    return cls(
         num_channels=config.data.num_channels,
         max_res_num=config.data.max_res_num,
         nf=m.nf,

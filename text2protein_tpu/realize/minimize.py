@@ -19,12 +19,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .geometry import build_backbone, random_dihedrals
+from .geometry import build_backbone, random_dihedrals, dihedral4
 from .restraints import (
     Restraints,
     restraints_from_maps,
     restraint_energy,
     clash_energy,
+    ca_coordinate_energy,
     inverse_scale,
 )
 
@@ -118,6 +119,44 @@ def _minimize_jit(key, rst, L, n_restarts, max_iter):
     return minimize_torsions(key, rst, L, n_restarts, max_iter)
 
 
+def _torsions_from_backbone(bb):
+    """Measure (phi, psi, omega) from backbone coords (inverse of
+    build_backbone; first phi / last psi default to the canonical values)."""
+    n, ca, c = bb[:, 0], bb[:, 1], bb[:, 2]
+    phi = jnp.concatenate(
+        [jnp.array([-jnp.pi / 3]), dihedral4(c[:-1], n[1:], ca[1:], c[1:])]
+    )
+    psi = jnp.concatenate(
+        [dihedral4(n[:-1], ca[:-1], c[:-1], n[1:]), jnp.array([jnp.pi / 3])]
+    )
+    omega = jnp.concatenate(
+        [jnp.array([jnp.pi]), dihedral4(ca[:-1], c[:-1], n[1:], ca[1:])]
+    )
+    return phi, psi, omega
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def relax_backbone(bb0, rst: Restraints, max_iter: int = 100,
+                   crd_std: float = 1.0, crd_tol: float = 1.0):
+    """Relax stage (FastRelax-equivalent final polish,
+    `/root/reference/rosetta_min/run.py:180-232`): re-minimize all restraints
+    at unit weights PLUS flat-harmonic CA coordinate restraints anchored to
+    the input pose, in torsion space."""
+    phi, psi, _ = _torsions_from_backbone(bb0)
+    ca_ref = bb0[:, 1]
+    x0 = jnp.stack([phi, psi], axis=0)
+
+    def energy(x):
+        bb = build_backbone(x[0], x[1])
+        e = restraint_energy(bb, rst, 1e9, {"dist": 1.0, "orient": 1.0})
+        e = e + clash_energy(bb)
+        return e + ca_coordinate_energy(bb, ca_ref, std=crd_std, tol=crd_tol)
+
+    x = _lbfgs_minimize(energy, x0, max_iter)
+    bb = build_backbone(x[0], x[1])
+    return bb, energy(x)
+
+
 def run_minimization(
     npz: dict,
     seq: str,
@@ -127,9 +166,12 @@ def run_minimization(
     angle_std: float = 10.0,
     dist_std: float = 2.0,
     max_iter: int = 150,
+    use_fastrelax: bool = True,
 ):
     """API mirror of `/root/reference/rosetta_min/run.py:9-19`: absolute-unit
-    restraint maps + sequence -> minimized backbone written as PDB.
+    restraint maps + sequence -> minimized backbone written as PDB. With
+    `use_fastrelax`, a final CA-coordinate-restrained relax round runs on the
+    best pose (run.py:180-232's role).
 
     Returns (backbone (L, 3, 3) np.ndarray, best_energy, all_energies).
     """
@@ -137,7 +179,6 @@ def run_minimization(
     rst = restraints_from_maps(npz, dist_std=dist_std, angle_std=angle_std)
     key = jax.random.PRNGKey(seed)
     bb, e_best, energies = _minimize_jit(key, rst, L, n_restarts, max_iter)
-    bb = np.asarray(bb)
 
     if outPath is not None:
         from ..data.pdbio import write_backbone_pdb
@@ -145,9 +186,19 @@ def run_minimization(
         outPath = Path(outPath)
         outPath.mkdir(parents=True, exist_ok=True)
         write_backbone_pdb(
-            outPath / "structure_before_design.pdb", bb, seq=seq
+            outPath / "structure_before_design.pdb", np.asarray(bb), seq=seq
         )
-    return bb, float(e_best), np.asarray(energies)
+
+    if use_fastrelax:
+        bb_rel, e_rel = relax_backbone(jnp.asarray(bb), rst, max_iter=max_iter)
+        if float(e_rel) < float(e_best):
+            bb, e_best = bb_rel, e_rel
+        if outPath is not None:
+            write_backbone_pdb(
+                outPath / "final_structure.pdb", np.asarray(bb), seq=seq
+            )
+
+    return np.asarray(bb), float(e_best), np.asarray(energies)
 
 
 def realize_6d_sample(coords_6d_cnn: np.ndarray, seq: str | None = None,

@@ -152,6 +152,16 @@ def restraint_energy(bb, rst: Restraints, sep_max, weights):
     return e
 
 
+def ca_coordinate_energy(bb, ca_ref, std=1.0, tol=1.0):
+    """Flat-harmonic CA coordinate restraints (`add_crd_rst`,
+    `/root/reference/rosetta_min/utils.py:96-117`): zero inside +-tol, then
+    harmonic — anchors the relax stage to the minimized pose."""
+    ca = bb[:, 1]
+    d = jnp.sqrt(jnp.sum((ca - ca_ref) ** 2, axis=-1) + 1e-12)
+    viol = jnp.maximum(d - tol, 0.0) / std
+    return jnp.sum(viol * viol)
+
+
 def clash_energy(bb, r_clash=4.0):
     """Soft CA-CA clash repulsion (the centroid vdw term's role in
     remove_clash, `/root/reference/rosetta_min/utils.py:90-95`)."""
