@@ -100,6 +100,44 @@ def test_mesh_dp_x_fsdp():
     assert np.isfinite(float(loss))
 
 
+def test_mesh_sequence_parallel():
+    """dp x sp: the pair-grid row axis sharded over 'model'; XLA SPMD
+    handles conv halos + attention collectives."""
+    config = tiny_config()
+    sde, _ = get_sde(config)
+    model = build_model(config)
+    batch = tiny_batch(config, b=4)
+    mesh = make_mesh(data=4, model=2)
+    state = create_train_state(config, model, jax.random.PRNGKey(0), batch)
+    state = shard_train_state(state, mesh)
+    batch = shard_batch(mesh, batch, shard_grid=True)
+    assert not batch["coords_6d"].sharding.is_fully_replicated
+    train_step = make_train_step(config, sde, model, mesh=mesh, donate=False,
+                                 shard_grid=True)
+    state, loss = train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+
+
+def test_sp_matches_dp_loss():
+    """Sharding must not change numerics: same batch, same rng -> same loss."""
+    config = tiny_config()
+    sde, _ = get_sde(config)
+    model = build_model(config)
+    batch = tiny_batch(config, b=4)
+    state = create_train_state(config, model, jax.random.PRNGKey(0), batch)
+
+    step_plain = make_train_step(config, sde, model, donate=False)
+    _, loss_plain = step_plain(state, batch, jax.random.PRNGKey(5))
+
+    mesh = make_mesh(data=4, model=2)
+    state_sp = shard_train_state(state, mesh)
+    batch_sp = shard_batch(mesh, batch, shard_grid=True)
+    step_sp = make_train_step(config, sde, model, mesh=mesh, donate=False,
+                              shard_grid=True)
+    _, loss_sp = step_sp(state_sp, batch_sp, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(float(loss_plain), float(loss_sp), rtol=2e-4)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     config = tiny_config()
     sde, _ = get_sde(config)

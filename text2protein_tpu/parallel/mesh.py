@@ -33,12 +33,36 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def grid_sharding(mesh: Mesh) -> NamedSharding:
+    """Sequence-parallel analog for the (B, N, N, ...) pair grid: batch over
+    'data' AND the row axis over 'model'. XLA SPMD inserts halo exchanges for
+    the convolutions and the gather/reduce collectives for attention — the
+    scaling path for residue counts beyond one chip's HBM (a capability the
+    reference lacks entirely, SURVEY.md §5 long-context)."""
+    return NamedSharding(mesh, P("data", "model"))
+
+
+def batch_shardings(mesh: Mesh, batch, shard_grid: bool = False):
+    """Per-key shardings for a training batch dict."""
+    grid = grid_sharding(mesh) if shard_grid else batch_sharding(mesh)
+    data = batch_sharding(mesh)
+
+    def pick(k):
+        return grid if k in ("coords_6d", "mask_pair", "mask_inpaint") else data
+
+    return {k: pick(k) for k in batch}
+
+
 def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Device_put a pytree of arrays with the batch dim over 'data'."""
+def shard_batch(mesh: Mesh, batch, shard_grid: bool = False):
+    """Device_put a batch dict; optionally shard the pair-grid row axis over
+    'model' (sequence parallel)."""
+    if isinstance(batch, dict):
+        shardings = batch_shardings(mesh, batch, shard_grid=shard_grid)
+        return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
     s = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 

@@ -20,8 +20,11 @@ from .state import TrainState, build_optimizer
 from ..parallel.mesh import batch_sharding, replicate_sharding, params_shardings
 
 
-def make_train_step(config, sde, model, mesh=None, donate=True):
-    """Returns train_step(state, batch, rng) -> (state, loss)."""
+def make_train_step(config, sde, model, mesh=None, donate=True,
+                    shard_grid=False):
+    """Returns train_step(state, batch, rng) -> (state, loss). With
+    `shard_grid`, the (B, N, N, *) arrays additionally shard their row axis
+    over the mesh 'model' axis (sequence parallel)."""
     loss_fn = get_sde_loss_fn(
         sde, model, train=True, condition=tuple(config.model.condition)
     )
@@ -42,6 +45,10 @@ def make_train_step(config, sde, model, mesh=None, donate=True):
 
     donate_argnums = (0,) if donate else ()
     if mesh is None:
+        return jax.jit(step_fn, donate_argnums=donate_argnums)
+    if shard_grid:
+        # per-key shardings come from shard_batch(…, shard_grid=True)
+        # placements; jit infers them from the input arrays.
         return jax.jit(step_fn, donate_argnums=donate_argnums)
     return jax.jit(
         step_fn,
