@@ -66,3 +66,32 @@ def test_supports_rejects_bad_shapes():
     assert not flash_mod.supports(q, q, q)
     q = jnp.zeros((1, 1, 64, 12))  # d % 8 != 0
     assert not flash_mod.supports(q, q, q)
+
+
+def test_flash_custom_vjp_matches_xla_grads(interpret_pallas):
+    """Training path: gradient of the Pallas-forward op must match the XLA
+    attention's gradient (the backward recomputes via XLA)."""
+    import text2protein_tpu.ops.attention as attn_mod
+
+    b, h, tq, tk, d = 1, 2, 64, 64, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, tq, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, tk, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, tk, d))
+    mask = jnp.tile(jnp.arange(tk)[None, :] < 40, (b, 1))
+
+    def loss_pallas(q, k, v):
+        out = attn_mod.dot_product_attention(
+            q, k, v, kv_mask=mask, use_pallas=True
+        )
+        return jnp.sum(out**2)
+
+    def loss_xla(q, k, v):
+        out = attn_mod.dot_product_attention(
+            q, k, v, kv_mask=mask, use_pallas=False
+        )
+        return jnp.sum(out**2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)

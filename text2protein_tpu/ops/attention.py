@@ -6,9 +6,11 @@ einsum cross-attention (`/root/reference/model/attention.py:152-193`). Here a
 single entry point serves both:
 
   * on TPU, a Pallas flash-attention kernel (`flash.py`) — blockwise online
-    softmax, logits never hit HBM;
-  * elsewhere (CPU tests) or for tiny shapes, an XLA einsum path that the
-    compiler fuses well.
+    softmax, logits never hit HBM — wrapped in a custom VJP so the op is
+    trainable (forward = Pallas kernel; backward recomputes attention via the
+    XLA path and differentiates it — the standard fallback until a dedicated
+    backward kernel lands);
+  * elsewhere (CPU tests) or for unsupported shapes, the XLA einsum path.
 
 Layout: q (B, H, Tq, D), k/v (B, H, Tk, D); optional kv_mask (B, Tk) bool.
 """
@@ -30,6 +32,35 @@ def _xla_attention(q, k, v, scale, kv_mask=None):
         logits = logits + bias
     weights = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _flash_op(scale, masked, q, k, v, maskf):
+    from .flash import flash_attention
+
+    return flash_attention(
+        q, k, v, scale=scale, kv_mask=(maskf if masked else None)
+    )
+
+
+def _flash_op_fwd(scale, masked, q, k, v, maskf):
+    out = _flash_op(scale, masked, q, k, v, maskf)
+    return out, (q, k, v, maskf)
+
+
+def _flash_op_bwd(scale, masked, residuals, g):
+    q, k, v, maskf = residuals
+
+    def ref(q_, k_, v_):
+        mask = (maskf > 0.5) if masked else None
+        return _xla_attention(q_, k_, v_, scale, kv_mask=mask)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(maskf)
+
+
+_flash_op.defvjp(_flash_op_fwd, _flash_op_bwd)
 
 
 @functools.lru_cache(maxsize=1)
@@ -56,8 +87,14 @@ def dot_product_attention(q, k, v, scale=None, kv_mask=None, use_pallas=None):
     if use_pallas is None:
         use_pallas = _on_tpu()
     if use_pallas:
-        from .flash import flash_attention, supports
+        from .flash import supports
 
         if supports(q, k, v):
-            return flash_attention(q, k, v, scale=scale, kv_mask=kv_mask)
+            masked = kv_mask is not None
+            maskf = (
+                kv_mask.astype(jnp.float32)
+                if masked
+                else jnp.ones((q.shape[0], 128), jnp.float32)
+            )
+            return _flash_op(float(scale), masked, q, k, v, maskf)
     return _xla_attention(q, k, v, scale, kv_mask=kv_mask)
