@@ -229,3 +229,30 @@ def test_tm_sweeps(tmp_path):
     s.write_text(yaml.safe_dump({"avg_score_per_res": -1.5}))
     stats = reu_stats([s])
     assert stats["count"] == 1 and stats["avg"] == -1.5
+
+
+def test_esm_prep(tmp_path):
+    from text2protein_tpu.data.pdbio import write_backbone_pdb
+    from text2protein_tpu.eval.esm_prep import load_coords, contact_map
+
+    rng = np.random.RandomState(0)
+    L = 12
+    ca = np.cumsum(rng.randn(L, 3) * 2, axis=0)
+    bb = np.stack([ca - [1.4, 0, 0], ca, ca + [1.5, 0, 0]], axis=1)
+    p = tmp_path / "x.pdb"
+    write_backbone_pdb(p, bb, seq="ACDEFGHIKLMN")
+    coords, seq = load_coords(p, chain="A")
+    assert coords.shape == (L, 3, 3)
+    assert seq == "ACDEFGHIKLMN"
+    cm = contact_map(coords)
+    assert cm.shape == (L, L)
+    assert cm.diagonal().all()  # self-contacts at d=0
+
+
+def test_show_all_channels(tmp_path):
+    from text2protein_tpu.utils.plotting import show_all_channels
+
+    sample = [np.random.rand(5, 8, 8)]
+    out = tmp_path / "channels.png"
+    show_all_channels(sample, path=out, nrows=1, ncols=5)
+    assert out.exists() and out.stat().st_size > 0

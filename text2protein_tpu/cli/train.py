@@ -41,15 +41,14 @@ def split_dataset(n, seed, eval_frac=0.05):
 
 def batches(dataset, indices, batch_size, max_len, rng, shuffle=True,
             drop_last=True):
-    from ..data import make_batch
+    """Background-prefetched epoch batches (data/loader.PrefetchLoader)."""
+    from ..data.loader import PrefetchLoader
 
-    order = rng.permutation(indices) if shuffle else indices
-    for i in range(0, len(order) - (batch_size - 1 if drop_last else 0),
-                   batch_size):
-        recs = [dataset[int(j)] for j in order[i : i + batch_size]]
-        if len(recs) < batch_size and drop_last:
-            return
-        yield make_batch(recs, max_len)
+    loader = PrefetchLoader(
+        dataset, indices, batch_size, max_len,
+        seed=int(rng.randint(2**31)), shuffle=shuffle, drop_last=drop_last,
+    )
+    yield from loader
 
 
 def main(argv=None):
@@ -185,19 +184,23 @@ def main(argv=None):
         # ---- preemption checkpoint every epoch (`train.py:185`)
         ckpt.save_meta(state)
 
-        # ---- eval epoch (EMA-swapped)
+        # ---- eval epoch (EMA-swapped). The reference's test loader samples
+        # WITH replacement (`train.py:66-72`), so batches are always full;
+        # same here when the eval split is smaller than one batch.
+        eval_indices = eval_idx
+        if len(eval_indices) < bs:
+            eval_indices = host_rng.choice(eval_idx, size=bs, replace=True)
         eval_losses = []
         last_eval_batch = None
-        for batch in batches(dataset, eval_idx, bs, max_len, host_rng,
-                             shuffle=False, drop_last=False):
-            if len(batch["id"]) != bs:
-                continue
+        for batch in batches(dataset, eval_indices, bs, max_len, host_rng,
+                             shuffle=False, drop_last=True):
             rng, k_mask, k_step = jax.random.split(rng, 3)
             dbatch = prepare(batch, k_mask)
             eval_losses.append(float(eval_step(state, dbatch, k_step)))
             last_eval_batch = batch
         avg_eval = float(np.mean(eval_losses)) if eval_losses else np.inf
-        writer.scalar("avg_eval_loss", avg_eval, step)
+        if np.isfinite(avg_eval):
+            writer.scalar("avg_eval_loss", avg_eval, step)
         print(f"epoch {epoch}: avg_train {avg_train:.5f} avg_eval {avg_eval:.5f}")
 
         # ---- snapshot sampling (`train.py:198-222`)
