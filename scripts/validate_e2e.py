@@ -182,7 +182,7 @@ def main():
 
     tms = []
     for i in range(2):
-        cnn = sample[i].transpose(2, 0, 1)
+        cnn = np.array(sample[i].transpose(2, 0, 1))
         cnn[-1] = np.round(np.clip(cnn[-1], 0, 1))
         try:
             bb, e, _ = realize_6d_sample(cnn, n_restarts=3, max_iter=80,

@@ -85,7 +85,11 @@ def test_mse_and_length_inference():
     assert infer_length_from_padding(sample) == l
     sample2 = sample.copy()
     sample2[0, :l, :l] += 0.5
-    # only the first 4 channels on the crop matter
-    assert abs(mse_6d(sample2, gt, l) - 0.25 / 4) < 1e-6
-    sample2[0, l:, l:] = 99.0
-    assert abs(mse_6d(sample2, gt, l) - 0.25 / 4) < 1e-6
+    # reference averages over ALL channels on the crop; padding-channel ones
+    # inside the crop contribute too (sample has 1s there, gt has 0s here)
+    want = (0.25 + 1.0) / 5
+    assert abs(mse_6d(sample2, gt, l) - want) < 1e-6
+    sample2[0, l:, l:] = 99.0  # outside the crop: ignored
+    assert abs(mse_6d(sample2, gt, l) - want) < 1e-6
+    # geometry-channel restriction
+    assert abs(mse_6d(sample2, gt, l, channels=slice(0, 4)) - 0.25 / 4) < 1e-6

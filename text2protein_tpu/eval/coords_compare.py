@@ -22,10 +22,14 @@ def infer_length_from_padding(sample_cnn: np.ndarray) -> int:
     return l
 
 
-def mse_6d(sample_cnn: np.ndarray, gt_cnn: np.ndarray, num_res: int) -> float:
-    """Mean squared error over the geometry channels on the real crop."""
-    s = sample_cnn[:4, :num_res, :num_res]
-    g = gt_cnn[:4, :num_res, :num_res]
+def mse_6d(sample_cnn: np.ndarray, gt_cnn: np.ndarray, num_res: int,
+           channels: slice | None = None) -> float:
+    """Mean squared error on the real crop. The reference averages over ALL
+    channels (`/root/reference/coords_compare.py:40`); pass channels=slice(0,4)
+    to restrict to the geometry channels."""
+    ch = channels if channels is not None else slice(None)
+    s = sample_cnn[ch, :num_res, :num_res]
+    g = gt_cnn[ch, :num_res, :num_res]
     return float(np.mean((s - g) ** 2))
 
 
@@ -53,7 +57,7 @@ def coord_compare(sample_dir, gt_dir, out_path=None) -> dict:
             sample = sample[0]
         rec = load_record(gt_path)
         gt = rec["coords_6d"]
-        num_res = int(rec["mask_pair"].any(-1).sum())
+        num_res = gt.shape[1]  # unpadded record length (coords_compare.py:34)
         per_pdb[pdb_id] = mse_6d(sample, gt, num_res)
 
     values = np.array(list(per_pdb.values())) if per_pdb else np.array([np.nan])
