@@ -256,3 +256,36 @@ def test_show_all_channels(tmp_path):
     out = tmp_path / "channels.png"
     show_all_channels(sample, path=out, nrows=1, ncols=5)
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_train_gen_tm_compare(tmp_path):
+    from text2protein_tpu.data.pdbio import write_backbone_pdb
+    from text2protein_tpu.eval.tm_sweeps import train_gen_tm_compare
+
+    rng = np.random.RandomState(0)
+
+    def trace(seed):
+        steps = rng.randn(40, 3)
+        steps /= np.linalg.norm(steps, axis=1, keepdims=True)
+        ca = np.cumsum(3.8 * steps, axis=0)
+        return np.stack([ca - [1.4, 0, 0], ca, ca + [1.5, 0, 0]], axis=1)
+
+    train_paths = []
+    for i in range(3):
+        p = tmp_path / f"train{i}.pdb"
+        write_backbone_pdb(p, trace(i))
+        train_paths.append(p)
+    d = tmp_path / "designs" / "x" / "round_1"
+    d.mkdir(parents=True)
+    designed = d / "final_structure.pdb"
+    write_backbone_pdb(designed, trace(99))
+
+    out = train_gen_tm_compare(
+        [designed], train_paths, out_path=tmp_path / "tm-scores.json",
+        use_native=False, num_workers=1,
+    )
+    assert out["target_count"] == 1 and out["reference_count"] == 3
+    assert len(out["samples"]) == 1
+    s = next(iter(out["samples"].values()))
+    assert 0.0 <= s["sample_min"] <= s["sample_avg"] <= s["sample_max"] <= 1.0
+    assert (tmp_path / "tm-scores.json").exists()
