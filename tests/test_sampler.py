@@ -120,3 +120,33 @@ def test_langevin_snr_step_size():
     expected_step = (0.17 * 1.0 / g) ** 2 * 2  # noise_norm/grad_norm ~ 1/g
     got_step = float(np.asarray(x_mean).mean() / g)
     assert abs(got_step - expected_step) / expected_step < 0.25
+
+
+def test_num_steps_override_consistent_noise_schedule():
+    """With num_steps < sde.N, the sampler's re-discretized SDE must inject
+    total noise variance matching the prior (sum of G^2 over steps ~
+    sigma_max^2), and the analytic-score result must stay correct."""
+    s0 = 0.5
+    sde = VESDE(N=2000, sigma_min=0.01, sigma_max=20.0)
+    model = AnalyticGaussianScoreModel(s0, 0.01, 20.0, 2000)
+    shape = (16, 8, 8, 2)
+    sampler = get_pc_sampler(
+        sde, model, shape, snr=0.17, n_steps=1, denoise=True, eps=1e-5,
+        num_steps=200,
+    )
+    samples, nfe = sampler({}, jax.random.PRNGKey(0))
+    assert nfe == 400
+    std = float(np.asarray(samples).std())
+    assert abs(std - s0) / s0 < 0.15, std
+
+    # G^2 accumulated over the sampler ladder covers the prior variance
+    import dataclasses
+    import jax.numpy as jnp
+
+    sub = dataclasses.replace(sde, N=200)
+    ts = jnp.linspace(1.0, 1e-5, 200)
+    total = 0.0
+    for t in np.asarray(ts):
+        _, G = sub.discretize(jnp.zeros((1, 2, 2, 1)), jnp.array([t]))
+        total += float(G[0]) ** 2
+    assert abs(total - 20.0**2) / 20.0**2 < 0.05, total

@@ -193,9 +193,16 @@ def get_pc_sampler(
     context_mask=None) -> (samples (B, N, N, C), nfe). `num_steps` overrides
     sde.N for faster schedules (NFE = num_steps * (n_steps + 1)).
     """
+    import dataclasses
+
     predictor_cls = get_predictor(predictor.lower())
     corrector_cls = get_corrector(corrector.lower())
     N = num_steps or sde.N
+    # When stepping fewer times than the model's ladder, the SAMPLER needs a
+    # consistently re-discretized SDE (its G must span one sampled step, not
+    # one model-ladder step) while the SCORE FUNCTION keeps the model's
+    # num_scales label convention.
+    sde_sampler = dataclasses.replace(sde, N=N) if N != sde.N else sde
 
     @jax.jit
     def sampler(params, key, condition=None, context=None, context_mask=None):
@@ -204,12 +211,12 @@ def get_pc_sampler(
         def score_fn(x, t):
             return base_score_fn(x, t, context, context_mask)
 
-        pred = predictor_cls(sde, score_fn, probability_flow)
-        corr = corrector_cls(sde, score_fn, snr, n_steps)
+        pred = predictor_cls(sde_sampler, score_fn, probability_flow)
+        corr = corrector_cls(sde_sampler, score_fn, snr, n_steps)
 
         key, sub = jax.random.split(key)
-        x = sde.prior_sampling(sub, shape)
-        timesteps = jnp.linspace(sde.T, eps, N)
+        x = sde_sampler.prior_sampling(sub, shape)
+        timesteps = jnp.linspace(sde_sampler.T, eps, N)
 
         x, cmask = apply_condition(x, condition)
         x_initial = x

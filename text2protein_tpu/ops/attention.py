@@ -63,6 +63,18 @@ def _flash_op_bwd(scale, masked, residuals, g):
 _flash_op.defvjp(_flash_op_fwd, _flash_op_bwd)
 
 
+_BACKEND_OVERRIDE = None  # None = auto, else "xla" | "pallas"
+
+
+def set_backend(backend):
+    """Force the attention backend: 'xla', 'pallas', or None (auto by
+    platform). Needed when compiling for a non-default backend in a process
+    whose default device is a TPU (e.g. the virtual-CPU mesh dryrun)."""
+    global _BACKEND_OVERRIDE
+    assert backend in (None, "xla", "pallas")
+    _BACKEND_OVERRIDE = backend
+
+
 @functools.lru_cache(maxsize=1)
 def _on_tpu() -> bool:
     try:
@@ -85,7 +97,10 @@ def dot_product_attention(q, k, v, scale=None, kv_mask=None, use_pallas=None):
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if use_pallas is None:
-        use_pallas = _on_tpu()
+        if _BACKEND_OVERRIDE is not None:
+            use_pallas = _BACKEND_OVERRIDE == "pallas"
+        else:
+            use_pallas = _on_tpu()
     if use_pallas:
         from .flash import supports
 
