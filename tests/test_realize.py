@@ -174,3 +174,34 @@ def test_torsion_measurement_roundtrip():
     bb2 = build_backbone(phi2, psi2, om2)
     # rebuilt chain is rigid-identical (same frame by construction)
     np.testing.assert_allclose(np.asarray(bb2), np.asarray(bb), atol=1e-3)
+
+
+def test_motif_scaffolding_fixes_region():
+    """With a pose and design mask, non-design torsions must stay at the
+    input pose values (bit-near), while masked spans get rebuilt."""
+    from text2protein_tpu.realize.minimize import (
+        run_minimization, _torsions_from_backbone,
+    )
+
+    L = 20
+    bb_true, c6d = _gt_maps(L, seed=11)
+    npz = inverse_scale(c6d, L)
+    # mask residues 8..12 for redesign
+    seq = "A" * 8 + "_" * 5 + "A" * 7
+    bb_out, e, _ = run_minimization(
+        npz, seq, n_restarts=2, max_iter=40, seed=0,
+        use_fastrelax=False, pose_bb=bb_true,
+    )
+    phi_t, psi_t, _ = _torsions_from_backbone(jnp.asarray(bb_true))
+    phi_o, psi_o, _ = _torsions_from_backbone(jnp.asarray(bb_out))
+
+    def wrap(x):
+        return np.arctan2(np.sin(x), np.cos(x))
+
+    fixed = np.array([c != "_" for c in seq])
+    # fixed-region torsions preserved (phi[0]/psi[-1] are parameterization
+    # extras; compare interior)
+    dphi = np.abs(wrap(np.asarray(phi_o - phi_t)))[1:][fixed[1:]]
+    dpsi = np.abs(wrap(np.asarray(psi_o - psi_t)))[:-1][fixed[:-1]]
+    assert dphi.max() < 1e-3, dphi.max()
+    assert dpsi.max() < 1e-3, dpsi.max()

@@ -65,7 +65,37 @@ def main(argv=None):
         if L < 4:
             print(f"{pdb_id}: skipping degenerate design (L={L})")
             continue
-        seq = "A" * L
+
+        # Motif scaffolding (`/root/reference/sampling_rosetta.py:76-84`):
+        # fix the input pose outside the masked spans, redesign inside.
+        pose_bb = None
+        if args.pdb is not None:
+            from ..data.pdbio import read_pdb
+            from ..data.vocab import THREE_TO_ONE, NON_STANDARD_TO_STANDARD
+
+            residues = read_pdb(args.pdb).amino_residues()[:L]
+            pose_bb = np.zeros((L, 3, 3), np.float32)
+            seq_chars = []
+            for i, r in enumerate(residues):
+                name = r.name if r.name in THREE_TO_ONE else \
+                    NON_STANDARD_TO_STANDARD.get(r.name, "UNK")
+                seq_chars.append(THREE_TO_ONE[name])
+                for j, a in enumerate(("N", "CA", "C")):
+                    c = r.atom(a)
+                    if c is not None:
+                        pose_bb[i, j] = c
+            seq_chars += ["_"] * (L - len(seq_chars))
+            if args.mask_info:
+                for tok in args.mask_info.split(","):
+                    if ":" in tok:
+                        s_, e_ = tok.split(":")
+                        for i in range(int(s_) - 1, min(int(e_), L)):
+                            seq_chars[i] = "_"
+                    else:
+                        seq_chars[int(tok) - 1] = "_"
+            seq = "".join(seq_chars)
+        else:
+            seq = "A" * L
 
         npz = inverse_scale(coords_6d, L)  # clips to [-1,1] + inverse-scales
 
@@ -77,6 +107,7 @@ def main(argv=None):
                 npz, seq, outPath=run_dir, seed=n,
                 n_restarts=args.n_restarts, max_iter=args.max_iter,
                 angle_std=args.angle_std, dist_std=args.dist_std,
+                pose_bb=pose_bb,
             )
             scores[f"round_{n + 1}"] = {
                 "total_energy": float(e_best),

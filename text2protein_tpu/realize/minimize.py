@@ -58,11 +58,25 @@ def _lbfgs_minimize(energy_fn, x0, max_iter=150):
 
 
 def minimize_torsions(key, rst: Restraints, L: int, n_restarts: int = 5,
-                      max_iter: int = 150):
+                      max_iter: int = 150, fixed_torsions=None,
+                      design_mask=None):
     """Run the full staged multi-restart protocol; returns the best backbone.
 
     All restarts execute as one vmapped batch on device.
+
+    Motif scaffolding (`/root/reference/rosetta_min/run.py:68-87`): with
+    `fixed_torsions` ((2, L) phi/psi) and `design_mask` ((L,) bool, True =
+    redesign), non-design torsions are clamped to the input pose and only the
+    masked spans are optimized (the MoveMap restriction's role).
     """
+    if design_mask is None:
+        design_mask = jnp.ones((L,), bool)
+    design2 = jnp.broadcast_to(design_mask[None, :], (2, L))
+
+    def clamp(x):
+        if fixed_torsions is None:
+            return x
+        return jnp.where(design2, x, fixed_torsions)
 
     def single_run(run_idx, key):
         phi, psi, omega = random_dihedrals(key, L)
@@ -75,7 +89,7 @@ def minimize_torsions(key, rst: Restraints, L: int, n_restarts: int = 5,
         psi = psi + jitter * jax.random.uniform(
             k2, (L,), minval=-jnp.deg2rad(10.0), maxval=jnp.deg2rad(10.0)
         )
-        x = jnp.stack([phi, psi], axis=0)  # (2, L)
+        x = clamp(jnp.stack([phi, psi], axis=0))  # (2, L)
 
         w_vdw = jnp.asarray(
             [VDW_WEIGHT.get(r, 10.0) for r in range(n_restarts)]
@@ -88,7 +102,8 @@ def minimize_torsions(key, rst: Restraints, L: int, n_restarts: int = 5,
         )[run_idx]
 
         def energy(x, sep_max):
-            bb = build_backbone(x[0], x[1])
+            xc = clamp(x)
+            bb = build_backbone(xc[0], xc[1])
             e = restraint_energy(
                 bb, rst, sep_max, {"dist": w_dist, "orient": w_orient}
             )
@@ -100,6 +115,7 @@ def minimize_torsions(key, rst: Restraints, L: int, n_restarts: int = 5,
                 functools.partial(energy, sep_max=sep_max), x, max_iter
             )
 
+        x = clamp(x)
         bb = build_backbone(x[0], x[1])
         # final scoring at unit weights over all bands (the cart-score role)
         e_final = restraint_energy(
@@ -115,8 +131,11 @@ def minimize_torsions(key, rst: Restraints, L: int, n_restarts: int = 5,
 
 
 @functools.partial(jax.jit, static_argnames=("L", "n_restarts", "max_iter"))
-def _minimize_jit(key, rst, L, n_restarts, max_iter):
-    return minimize_torsions(key, rst, L, n_restarts, max_iter)
+def _minimize_jit(key, rst, L, n_restarts, max_iter, fixed_torsions=None,
+                  design_mask=None):
+    return minimize_torsions(key, rst, L, n_restarts, max_iter,
+                             fixed_torsions=fixed_torsions,
+                             design_mask=design_mask)
 
 
 def _torsions_from_backbone(bb):
@@ -167,18 +186,32 @@ def run_minimization(
     dist_std: float = 2.0,
     max_iter: int = 150,
     use_fastrelax: bool = True,
+    pose_bb=None,
 ):
     """API mirror of `/root/reference/rosetta_min/run.py:9-19`: absolute-unit
     restraint maps + sequence -> minimized backbone written as PDB. With
     `use_fastrelax`, a final CA-coordinate-restrained relax round runs on the
     best pose (run.py:180-232's role).
 
+    Motif scaffolding: `pose_bb` ((L, 3, 3) input backbone) fixes the
+    torsions of residues whose `seq` character is NOT '_' and redesigns only
+    the masked ('_') spans — run.py:68-87's masked-input-pose path.
+
     Returns (backbone (L, 3, 3) np.ndarray, best_energy, all_energies).
     """
     L = len(seq)
     rst = restraints_from_maps(npz, dist_std=dist_std, angle_std=angle_std)
     key = jax.random.PRNGKey(seed)
-    bb, e_best, energies = _minimize_jit(key, rst, L, n_restarts, max_iter)
+    fixed_torsions = None
+    design_mask = None
+    if pose_bb is not None:
+        phi0, psi0, _ = _torsions_from_backbone(jnp.asarray(pose_bb))
+        fixed_torsions = jnp.stack([phi0, psi0], axis=0)
+        design_mask = jnp.asarray([c == "_" for c in seq])
+    bb, e_best, energies = _minimize_jit(
+        key, rst, L, n_restarts, max_iter,
+        fixed_torsions=fixed_torsions, design_mask=design_mask,
+    )
 
     if outPath is not None:
         from ..data.pdbio import write_backbone_pdb
