@@ -91,6 +91,9 @@ def main():
         denoise=config.sampling.noise_removal,
         eps=eps,
         num_steps=args.steps,
+        # single device executions are wall-clock-capped on the tunnel
+        # platform; chunk long trajectories into multiple launches
+        chunk_size=1000 if args.steps > 1000 else None,
     )
 
     # compile + warm run (materialize on host: on the axon tunnel platform

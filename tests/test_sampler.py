@@ -150,3 +150,21 @@ def test_num_steps_override_consistent_noise_schedule():
         _, G = sub.discretize(jnp.zeros((1, 2, 2, 1)), jnp.array([t]))
         total += float(G[0]) ** 2
     assert abs(total - 20.0**2) / 20.0**2 < 0.05, total
+
+
+def test_chunked_sampler_matches_single_launch():
+    """chunk_size splits the trajectory into several launches with identical
+    math: same key -> same samples as the single-scan sampler."""
+    sde = VESDE(N=40, sigma_min=0.01, sigma_max=10.0)
+    model = AnalyticGaussianScoreModel(1.0, 0.01, 10.0, 40)
+    shape = (2, 8, 8, 5)
+    v = jnp.zeros((2, 8, 8), bool).at[:, :6, :6].set(True)
+    condition = {"length": v}
+    kwargs = dict(snr=0.17, n_steps=1, denoise=True, eps=1e-5)
+    s_one = get_pc_sampler(sde, model, shape, **kwargs)
+    s_chunked = get_pc_sampler(sde, model, shape, chunk_size=10, **kwargs)
+    out1, nfe1 = s_one({}, jax.random.PRNGKey(3), condition=condition)
+    out2, nfe2 = s_chunked({}, jax.random.PRNGKey(3), condition=condition)
+    assert nfe1 == nfe2 == 80
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=1e-5, rtol=1e-5)

@@ -28,6 +28,8 @@ def build_argparser():
     p.add_argument("--workdir_root", type=str, default="training")
     p.add_argument("--max_steps", type=int, default=None,
                    help="override training.n_iters (smoke runs)")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize() for multi-host pods")
     return p
 
 
@@ -40,13 +42,14 @@ def split_dataset(n, seed, eval_frac=0.05):
 
 
 def batches(dataset, indices, batch_size, max_len, rng, shuffle=True,
-            drop_last=True):
+            drop_last=True, host_id=0, host_count=1):
     """Background-prefetched epoch batches (data/loader.PrefetchLoader)."""
     from ..data.loader import PrefetchLoader
 
     loader = PrefetchLoader(
         dataset, indices, batch_size, max_len,
         seed=int(rng.randint(2**31)), shuffle=shuffle, drop_last=drop_last,
+        host_id=host_id, host_count=host_count,
     )
     yield from loader
 
@@ -74,6 +77,15 @@ def main(argv=None):
     from ..training.state import param_count
     from ..training.steps import shard_train_state
     from ..utils.logging import MetricsWriter
+
+    # Multi-host: the same mesh spans all hosts; each host loads its shard of
+    # the index space (the reference's multi-GPU spawn path is dead code,
+    # `/root/reference/train.py:259-266`).
+    import os as _os
+
+    if args.multihost or "COORDINATOR_ADDRESS" in _os.environ:
+        jax.distributed.initialize()
+    host_id, host_count = jax.process_index(), jax.process_count()
 
     config = load_config(args.config)
     if args.local_test:
@@ -134,7 +146,8 @@ def main(argv=None):
         arrays["context_mask"] = jnp.asarray(emb_mask)
         return shard_batch(mesh, arrays)
 
-    first = next(batches(dataset, train_idx, bs, max_len, host_rng))
+    first = next(batches(dataset, train_idx, bs, max_len, host_rng,
+                         host_id=host_id, host_count=host_count))
     init_batch = prepare(first, jax.random.PRNGKey(0))
     state = create_train_state(config, model, jax.random.PRNGKey(config.seed),
                                init_batch)
@@ -163,7 +176,8 @@ def main(argv=None):
         epoch += 1
         # ---- train epoch
         epoch_losses = []
-        for batch in batches(dataset, train_idx, bs, max_len, host_rng):
+        for batch in batches(dataset, train_idx, bs, max_len, host_rng,
+                             host_id=host_id, host_count=host_count):
             rng, k_mask, k_step = jax.random.split(rng, 3)
             dbatch = prepare(batch, k_mask)
             state, loss = train_step(state, dbatch, k_step)

@@ -186,12 +186,18 @@ def get_pc_sampler(
     denoise=True,
     eps=1e-5,
     num_steps=None,
+    chunk_size=None,
 ):
     """Build a jit-compiled PC sampler.
 
     Returns sampler(params, key, condition=None, context=None,
     context_mask=None) -> (samples (B, N, N, C), nfe). `num_steps` overrides
     sde.N for faster schedules (NFE = num_steps * (n_steps + 1)).
+
+    `chunk_size` splits the reverse trajectory into multiple device launches
+    of at most that many steps (one compiled scan reused across chunks) —
+    needed where a single device execution has a wall-clock cap, and useful
+    for mid-sampling preemption checkpoints. None = one launch.
     """
     import dataclasses
 
@@ -204,8 +210,7 @@ def get_pc_sampler(
     # num_scales label convention.
     sde_sampler = dataclasses.replace(sde, N=N) if N != sde.N else sde
 
-    @jax.jit
-    def sampler(params, key, condition=None, context=None, context_mask=None):
+    def _make_step(params, context, context_mask, cmask, x_initial):
         base_score_fn = get_score_fn(sde, model, params, train=False)
 
         def score_fn(x, t):
@@ -213,13 +218,6 @@ def get_pc_sampler(
 
         pred = predictor_cls(sde_sampler, score_fn, probability_flow)
         corr = corrector_cls(sde_sampler, score_fn, snr, n_steps)
-
-        key, sub = jax.random.split(key)
-        x = sde_sampler.prior_sampling(sub, shape)
-        timesteps = jnp.linspace(sde_sampler.T, eps, N)
-
-        x, cmask = apply_condition(x, condition)
-        x_initial = x
 
         def step(carry, t):
             x, _x_mean, key = carry
@@ -231,16 +229,65 @@ def get_pc_sampler(
             x = jnp.where(cmask, x, x_initial)
             return (x, x_mean, key), None
 
+        return step
+
+    @jax.jit
+    def sampler(params, key, condition=None, context=None, context_mask=None):
+        key, sub = jax.random.split(key)
+        x = sde_sampler.prior_sampling(sub, shape)
+        timesteps = jnp.linspace(sde_sampler.T, eps, N)
+
+        x, cmask = apply_condition(x, condition)
+        x_initial = x
+        step = _make_step(params, context, context_mask, cmask, x_initial)
         (x, x_mean, _), _ = jax.lax.scan(step, (x, x, key), timesteps)
         x_mean = jnp.where(cmask, x_mean, x_initial)
         return (x_mean if denoise else x), N * (n_steps + 1)
 
-    return sampler
+    if chunk_size is None or chunk_size >= N:
+        return sampler
+
+    # --- chunked variant: same math, multiple launches -----------------------
+    assert N % chunk_size == 0, (N, chunk_size)
+
+    @jax.jit
+    def _init(params, key, condition=None, context=None, context_mask=None):
+        key, sub = jax.random.split(key)
+        x = sde_sampler.prior_sampling(sub, shape)
+        x, cmask = apply_condition(x, condition)
+        return x, cmask, key
+
+    @jax.jit
+    def _chunk(params, x, x_mean, key, t_chunk, cmask, x_initial,
+               context=None, context_mask=None):
+        step = _make_step(params, context, context_mask, cmask, x_initial)
+        (x, x_mean, key), _ = jax.lax.scan(step, (x, x_mean, key), t_chunk)
+        return x, x_mean, key
+
+    def chunked_sampler(params, key, condition=None, context=None,
+                        context_mask=None):
+        x, cmask, key = _init(params, key, condition, context, context_mask)
+        x_initial = x
+        x_mean = x
+        timesteps = jnp.linspace(sde_sampler.T, eps, N)
+        for i in range(N // chunk_size):
+            t_chunk = timesteps[i * chunk_size : (i + 1) * chunk_size]
+            x, x_mean, key = _chunk(params, x, x_mean, key, t_chunk, cmask,
+                                    x_initial, context, context_mask)
+            jax.block_until_ready(x)
+        x_mean = jnp.where(cmask, x_mean, x_initial)
+        return (x_mean if denoise else x), N * (n_steps + 1)
+
+    return chunked_sampler
 
 
-def get_sampling_fn(config, sde, model, shape, eps, num_steps=None):
+def get_sampling_fn(config, sde, model, shape, eps, num_steps=None,
+                    chunk_size=None):
     """Config-driven sampler factory (`/root/reference/score_sde_pytorch/
     sampling.py:78-104`)."""
+    n = num_steps or sde.N
+    if chunk_size is None and n > 1000 and n % 1000 == 0:
+        chunk_size = 1000  # long trajectories run as multiple launches
     return get_pc_sampler(
         sde=sde,
         model=model,
@@ -253,4 +300,5 @@ def get_sampling_fn(config, sde, model, shape, eps, num_steps=None):
         denoise=config.sampling.noise_removal,
         eps=eps,
         num_steps=num_steps,
+        chunk_size=chunk_size,
     )

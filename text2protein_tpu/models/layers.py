@@ -90,10 +90,18 @@ def nin(out_dim, init_scale=0.1, name=None, dtype=None):
 
 def group_norm(ch, name=None):
     """GroupNorm(min(ch // 4, 32), eps=1e-6) as used throughout the UNet.
-    Always computes in float32 (mixed-precision safe); output follows the
-    input dtype through subsequent ops."""
+    Computes in float32 by default (mixed-precision safe); set
+    T2P_NORM_DTYPE=bfloat16 to keep normalization traffic in bf16 (perf
+    experiment switch — activations dominate HBM traffic at N=128)."""
+    import os
+
+    dtype = (
+        jnp.bfloat16
+        if os.environ.get("T2P_NORM_DTYPE") == "bfloat16"
+        else jnp.float32
+    )
     return nn.GroupNorm(
-        num_groups=min(ch // 4, 32), epsilon=1e-6, dtype=jnp.float32, name=name
+        num_groups=min(ch // 4, 32), epsilon=1e-6, dtype=dtype, name=name
     )
 
 
