@@ -172,6 +172,7 @@ def main(argv=None):
     step = int(state.step)
     epoch = 0
     t_last = time.time()
+    snapshot_sampling_fn = None
     while step < n_iters and epoch < config.training.epochs:
         epoch += 1
         # ---- train epoch
@@ -217,10 +218,15 @@ def main(argv=None):
             writer.scalar("avg_eval_loss", avg_eval, step)
         print(f"epoch {epoch}: avg_train {avg_train:.5f} avg_eval {avg_eval:.5f}")
 
-        # ---- snapshot sampling (`train.py:198-222`)
+        # ---- snapshot sampling (`train.py:198-222`); the sampler is built
+        # once and reused across epochs (one compilation)
         if config.training.snapshot_sampling and last_eval_batch is not None:
-            shape = (bs, max_len, max_len, config.data.num_channels)
-            sampling_fn = get_sampling_fn(config, sde, model, shape, sampling_eps)
+            if snapshot_sampling_fn is None:
+                shape = (bs, max_len, max_len, config.data.num_channels)
+                snapshot_sampling_fn = get_sampling_fn(
+                    config, sde, model, shape, sampling_eps
+                )
+            sampling_fn = snapshot_sampling_fn
             rng, k_cond, k_samp = jax.random.split(rng, 3)
             condition = get_condition_from_batch(config, last_eval_batch,
                                                  rng=k_cond)
