@@ -69,6 +69,8 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--num_records", type=int, default=128)
     p.add_argument("--sample_steps", type=int, default=500)
+    p.add_argument("--norm_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--out", type=str, default="validation_report.json")
     args = p.parse_args()
 
@@ -90,7 +92,7 @@ def main():
             "condition": ["length"], "nf": args.nf, "ch_mult": [1, 2, 2],
             "num_res_blocks": 2, "attn_resolutions": [args.n // 4],
             "n_heads": 4, "context_dim": 64, "dropout": 0.1,
-            "dtype": "bfloat16",
+            "dtype": "bfloat16", "norm_dtype": args.norm_dtype,
         },
         "optim": {"warmup": 100},
         "text": {"encoder": "hash", "max_tokens": 8, "pad_to_bucket": 8},

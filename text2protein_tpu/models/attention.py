@@ -87,10 +87,13 @@ class BasicTransformerBlock(nn.Module):
     dropout: float = 0.0
     gated_ff: bool = True
     dtype: object = None
+    norm_dtype: object = None
 
     @nn.compact
     def __call__(self, x, context=None, context_mask=None, train=False):
-        ln = lambda name: nn.LayerNorm(name=name, dtype=jnp.float32)
+        ln = lambda name: nn.LayerNorm(
+            name=name, dtype=self.norm_dtype or jnp.float32
+        )
         x = CrossAttention(
             heads=self.n_heads, dim_head=self.d_head, dropout=self.dropout,
             name="attn1", dtype=self.dtype,
@@ -121,6 +124,7 @@ class SpatialTransformer(nn.Module):
     dropout: float = 0.0
     remat: bool = True
     dtype: object = None
+    norm_dtype: object = None
 
     @nn.compact
     def __call__(self, x, context=None, context_mask=None, train=False):
@@ -130,7 +134,8 @@ class SpatialTransformer(nn.Module):
         # Reference uses 32 groups unconditionally (channels are always >=128
         # there); capped for small channel counts.
         x = nn.GroupNorm(
-            num_groups=min(32, c), epsilon=1e-6, dtype=jnp.float32, name="norm"
+            num_groups=min(32, c), epsilon=1e-6,
+            dtype=self.norm_dtype or jnp.float32, name="norm",
         )(x)
         x = nn.Dense(inner, name="proj_in", dtype=self.dtype)(x)
         x = x.reshape(b, h * w, inner)
@@ -145,6 +150,7 @@ class SpatialTransformer(nn.Module):
                 d_head=self.d_head,
                 dropout=self.dropout,
                 dtype=self.dtype,
+                norm_dtype=self.norm_dtype,
                 name=f"block_{d}",
             )(x, context, context_mask, train)
         x = x.reshape(b, h, w, inner)

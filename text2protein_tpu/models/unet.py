@@ -53,6 +53,7 @@ class ScoreUNet(nn.Module):
     num_scales: int = 2000
     remat_attention: bool = True
     dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
+    norm_dtype: object = None  # normalization compute dtype (None = float32)
 
     @nn.compact
     def __call__(self, x, time_cond, context=None, context_mask=None, train=False):
@@ -78,6 +79,7 @@ class ScoreUNet(nn.Module):
                 skip_rescale=self.skip_rescale,
                 init_scale=self.init_scale,
                 dtype=self.dtype,
+                norm_dtype=self.norm_dtype,
             )
             if self.resblock_type == "biggan":
                 kwargs.update(up=up, down=down)
@@ -86,7 +88,7 @@ class ScoreUNet(nn.Module):
         def attn_pair(h, ctx, ctx_mask):
             h = layers.AttnBlock(
                 skip_rescale=self.skip_rescale, init_scale=self.init_scale,
-                dtype=self.dtype,
+                dtype=self.dtype, norm_dtype=self.norm_dtype,
             )(h)
             h = SpatialTransformer(
                 n_heads=self.n_heads,
@@ -94,6 +96,7 @@ class ScoreUNet(nn.Module):
                 dropout=self.dropout,
                 remat=self.remat_attention,
                 dtype=self.dtype,
+                norm_dtype=self.norm_dtype,
             )(h, ctx, ctx_mask, train)
             return h
 
@@ -150,7 +153,7 @@ class ScoreUNet(nn.Module):
 
         # Output head (always float32: the score is divided by sigmas as
         # small as sigma_min=0.01, which bf16 cannot represent accurately).
-        h = act(layers.group_norm(h.shape[-1])(h))
+        h = act(layers.group_norm(h.shape[-1])(h))  # f32 norm at the head
         h = layers.conv3x3(self.num_channels, init_scale=self.init_scale)(
             h.astype(jnp.float32)
         )
@@ -191,5 +194,8 @@ def build_model(config) -> ScoreUNet:
         num_scales=m.num_scales,
         dtype={"float32": None, "bfloat16": jnp.bfloat16}[
             str(m.get("dtype", "float32"))
+        ],
+        norm_dtype={"float32": None, "bfloat16": jnp.bfloat16}[
+            str(m.get("norm_dtype", "float32"))
         ],
     )
