@@ -122,3 +122,56 @@ def test_eight_channel_model():
         context=batch["context"], context_mask=batch["context_mask"],
     )
     assert out.shape[-1] == 8
+
+
+def test_groupnorm_f32stats_matches_flax():
+    """The f32-stats/bf16-traffic GroupNorm must match flax GroupNorm on f32
+    inputs and stay accurate on bf16 inputs."""
+    import flax.linen as nn
+    from text2protein_tpu.models.layers import GroupNormF32Stats
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16)) * 3 + 1.5
+    ours = GroupNormF32Stats(num_groups=4, epsilon=1e-6)
+    ref = nn.GroupNorm(num_groups=4, epsilon=1e-6, dtype=jnp.float32)
+    p1 = ours.init(jax.random.PRNGKey(1), x)
+    p2 = ref.init(jax.random.PRNGKey(1), x)
+    np.testing.assert_allclose(
+        np.asarray(ours.apply(p1, x)), np.asarray(ref.apply(p2, x)),
+        atol=1e-5,
+    )
+    # bf16 input + follow_input_dtype: output bf16, values close to f32 ref
+    from text2protein_tpu.models.layers import GroupNormF32Stats as GN
+
+    ours_bf16 = GN(num_groups=4, epsilon=1e-6, follow_input_dtype=True)
+    xb = x.astype(jnp.bfloat16)
+    yb = ours_bf16.apply(p1, xb)
+    assert yb.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(yb, dtype=np.float32), np.asarray(ref.apply(p2, x)),
+        atol=0.05,
+    )
+    # param naming matches flax (checkpoint compatibility)
+    assert set(p1["params"].keys()) == {"scale", "bias"}
+
+
+def test_norm_dtype_model_close_to_f32():
+    config = tiny_config()
+    batch = tiny_batch(config)
+    model, params = _init(config, batch)
+    import text2protein_tpu.models.unet as unet_mod
+
+    config2 = tiny_config()
+    config2.model.norm_dtype = "bfloat16"
+    config2.model.dtype = "bfloat16"
+    model2 = unet_mod.build_model(config2)
+    t = jnp.array([1.0, 4.0])
+    out1 = model.apply({"params": params}, batch["coords_6d"], t,
+                       context=batch["context"],
+                       context_mask=batch["context_mask"])
+    out2 = model2.apply({"params": params}, batch["coords_6d"], t,
+                        context=batch["context"],
+                        context_mask=batch["context_mask"])
+    # same params usable by both variants; outputs close at bf16 tolerance
+    err = np.abs(np.asarray(out1) - np.asarray(out2)).max()
+    scale = np.abs(np.asarray(out1)).max() + 1e-6
+    assert err / scale < 0.1, (err, scale)

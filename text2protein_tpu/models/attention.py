@@ -91,9 +91,9 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, context_mask=None, train=False):
-        ln = lambda name: nn.LayerNorm(
-            name=name, dtype=self.norm_dtype or jnp.float32
-        )
+        # LayerNorms stay float32: token tensors are small (<=1024 x C), so
+        # their traffic is negligible next to the grid tensors.
+        ln = lambda name: nn.LayerNorm(name=name, dtype=jnp.float32)
         x = CrossAttention(
             heads=self.n_heads, dim_head=self.d_head, dropout=self.dropout,
             name="attn1", dtype=self.dtype,
@@ -133,9 +133,13 @@ class SpatialTransformer(nn.Module):
         x_in = x
         # Reference uses 32 groups unconditionally (channels are always >=128
         # there); capped for small channel counts.
-        x = nn.GroupNorm(
-            num_groups=min(32, c), epsilon=1e-6,
-            dtype=self.norm_dtype or jnp.float32, name="norm",
+        from .layers import GroupNormF32Stats
+
+        x = GroupNormF32Stats(
+            num_groups=min(32, c), epsilon=1e-6, name="norm",
+            follow_input_dtype=(
+                self.norm_dtype is not None and self.norm_dtype != jnp.float32
+            ),
         )(x)
         x = nn.Dense(inner, name="proj_in", dtype=self.dtype)(x)
         x = x.reshape(b, h * w, inner)

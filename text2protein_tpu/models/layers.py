@@ -88,15 +88,56 @@ def nin(out_dim, init_scale=0.1, name=None, dtype=None):
     )
 
 
+class GroupNormF32Stats(nn.Module):
+    """GroupNorm with float32 statistics and selectable I/O precision.
+
+    Activations dominate HBM bandwidth at N=128; flax GroupNorm(dtype=f32)
+    materializes an f32 output (2x write+read traffic in a bf16 network),
+    while GroupNorm(dtype=bf16) computes mean/variance in bf16 (measurably
+    degraded sampling quality over 1000-step trajectories). Here the
+    reductions ALWAYS upcast to f32 inside the fusion (no f32 buffer), and
+    `follow_input_dtype` keeps the normalize/affine path in the input dtype —
+    bf16 traffic, f32 statistics; ~+11% sampler throughput. With
+    follow_input_dtype=False the whole op runs in f32 (reference-faithful).
+    Param names/shapes match flax GroupNorm (checkpoint compatible), and
+    both modes share this class so parameter paths are identical.
+    """
+
+    num_groups: int
+    epsilon: float = 1e-6
+    follow_input_dtype: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        g = self.num_groups
+        cg = c // g
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        apply_dtype = x.dtype if self.follow_input_dtype else jnp.float32
+
+        xg = x.reshape(x.shape[:-1] + (g, cg)).astype(jnp.float32)
+        axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        mean = jnp.mean(xg, axis=axes, keepdims=True)          # f32
+        var = jnp.mean(jnp.square(xg - mean), axis=axes, keepdims=True)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+
+        shape = x.shape
+        mean = jnp.broadcast_to(mean, xg.shape).reshape(shape).astype(apply_dtype)
+        inv = jnp.broadcast_to(inv, xg.shape).reshape(shape).astype(apply_dtype)
+        y = (x.astype(apply_dtype) - mean) * inv
+        return y * scale.astype(apply_dtype) + bias.astype(apply_dtype)
+
+
 def group_norm(ch, name=None, dtype=None):
     """GroupNorm(min(ch // 4, 32), eps=1e-6) as used throughout the UNet.
-    dtype=None computes in float32 (mixed-precision safe default);
-    jnp.bfloat16 keeps normalization traffic in bf16 — activations dominate
-    HBM bandwidth at N=128, worth ~+11% sampler throughput
+    dtype=None computes fully in float32 (reference-faithful default);
+    jnp.bfloat16 selects f32-stats/low-precision-traffic
     (config key model.norm_dtype)."""
-    return nn.GroupNorm(
+    follow = dtype is not None and dtype != jnp.float32
+    return GroupNormF32Stats(
         num_groups=min(ch // 4, 32), epsilon=1e-6,
-        dtype=dtype or jnp.float32, name=name,
+        follow_input_dtype=follow, name=name,
     )
 
 
