@@ -116,16 +116,21 @@ class GroupNormF32Stats(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
         apply_dtype = x.dtype if self.follow_input_dtype else jnp.float32
 
-        xg = x.reshape(x.shape[:-1] + (g, cg)).astype(jnp.float32)
+        xg = x.reshape(x.shape[:-1] + (g, cg))
+        xf = xg.astype(jnp.float32)
         axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
-        mean = jnp.mean(xg, axis=axes, keepdims=True)          # f32
-        var = jnp.mean(jnp.square(xg - mean), axis=axes, keepdims=True)
+        # fast variance: one fused read pass computes both moments in f32
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        mean2 = jnp.mean(xf * xf, axis=axes, keepdims=True)
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
         inv = jax.lax.rsqrt(var + self.epsilon)
 
-        shape = x.shape
-        mean = jnp.broadcast_to(mean, xg.shape).reshape(shape).astype(apply_dtype)
-        inv = jnp.broadcast_to(inv, xg.shape).reshape(shape).astype(apply_dtype)
-        y = (x.astype(apply_dtype) - mean) * inv
+        # normalize in the grouped shape so the (…, g, 1) statistics
+        # broadcast without materializing full-size tensors
+        y = (xg.astype(apply_dtype) - mean.astype(apply_dtype)) * inv.astype(
+            apply_dtype
+        )
+        y = y.reshape(x.shape)
         return y * scale.astype(apply_dtype) + bias.astype(apply_dtype)
 
 
