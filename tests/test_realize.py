@@ -205,3 +205,21 @@ def test_motif_scaffolding_fixes_region():
     dpsi = np.abs(wrap(np.asarray(psi_o - psi_t)))[:-1][fixed[:-1]]
     assert dphi.max() < 1e-3, dphi.max()
     assert dpsi.max() < 1e-3, dpsi.max()
+
+
+def test_realize_batch():
+    """Batched (vmapped-designs) realization matches per-design quality."""
+    from text2protein_tpu.realize.minimize import realize_batch
+    from text2protein_tpu.eval.tmscore import tm_score
+
+    L = 24
+    trues, samples = [], []
+    for seed in (21, 22):
+        bb, c6d = _gt_maps(L, seed=seed)
+        trues.append(bb)
+        samples.append(c6d)
+    bbs, energies = realize_batch(np.stack(samples), n_restarts=3, max_iter=60)
+    assert bbs.shape == (2, L, 3, 3)
+    assert np.isfinite(bbs).all() and np.isfinite(energies).all()
+    for bb_min, bb_true in zip(bbs, trues):
+        assert tm_score(bb_min[:, 1], bb_true[:, 1]) > 0.4

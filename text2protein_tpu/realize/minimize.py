@@ -234,6 +234,39 @@ def run_minimization(
     return np.asarray(bb), float(e_best), np.asarray(energies)
 
 
+def realize_batch(samples_cnn, n_restarts: int = 5, max_iter: int = 150,
+                  seed: int = 0, angle_std: float = 10.0, dist_std: float = 2.0):
+    """Batched realization: D same-length designs minimized concurrently on
+    device — restarts AND designs vmapped (the reference runs one PyRosetta
+    design at a time on CPU).
+
+    Args:
+      samples_cnn: (D, C, N, N) sampled maps, all with the same real length.
+    Returns:
+      (backbones (D, L, 3, 3), best energies (D,)).
+    """
+    samples_cnn = np.asarray(samples_cnn)
+    msk0 = np.round(samples_cnn[0, -1])
+    L = int(round(np.sqrt((msk0 == 1).sum())))
+    rsts = []
+    for s in samples_cnn:
+        npz = inverse_scale(s, L)
+        rsts.append(restraints_from_maps(npz, dist_std=dist_std,
+                                         angle_std=angle_std))
+    rst_batched = jax.tree.map(lambda *xs: jnp.stack(xs), *rsts)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(rsts))
+
+    @functools.partial(jax.jit, static_argnames=("L", "n_restarts", "max_iter"))
+    def run(keys, rst, L, n_restarts, max_iter):
+        return jax.vmap(
+            lambda k, r: minimize_torsions(k, r, L, n_restarts, max_iter)[:2]
+        )(keys, rst)
+
+    bbs, energies = run(keys, rst_batched, L, n_restarts, max_iter)
+    return np.asarray(bbs), np.asarray(energies)
+
+
 def realize_6d_sample(coords_6d_cnn: np.ndarray, seq: str | None = None,
                       **kwargs):
     """One-call path from a sampled (C, N, N) map to a backbone
