@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import argparse
 import pickle
-import shutil
 import time
 from datetime import datetime
 from pathlib import Path

@@ -11,7 +11,6 @@ Implemented as one `lax.scan` instead of a host loop.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

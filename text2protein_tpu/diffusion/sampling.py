@@ -13,8 +13,6 @@ Registries mirror the reference decorator API (`sampling.py:32-75`).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

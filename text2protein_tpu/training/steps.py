@@ -9,10 +9,7 @@ store/copy_to/restore swap collapses to just passing state.ema.params).
 
 from __future__ import annotations
 
-import functools
-
 import jax
-import jax.numpy as jnp
 
 from ..diffusion.ema import ema_update
 from ..diffusion.losses import get_sde_loss_fn
