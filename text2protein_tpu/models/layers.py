@@ -134,6 +134,17 @@ class GroupNormF32Stats(nn.Module):
         return y * scale.astype(apply_dtype) + bias.astype(apply_dtype)
 
 
+def _num_groups(ch: int) -> int:
+    """min(ch // 4, 32) like the reference, stepped down to the nearest
+    divisor of ch (widths like 144 = 96 + 48 skip-concat are not divisible
+    by 32; torch GroupNorm — and hence the reference — simply cannot run
+    such widths)."""
+    g = max(min(ch // 4, 32), 1)
+    while g > 1 and ch % g:
+        g -= 1
+    return g
+
+
 def group_norm(ch, name=None, dtype=None):
     """GroupNorm(min(ch // 4, 32), eps=1e-6) as used throughout the UNet.
     dtype=None computes fully in float32 (reference-faithful default);
@@ -141,7 +152,7 @@ def group_norm(ch, name=None, dtype=None):
     (config key model.norm_dtype)."""
     follow = dtype is not None and dtype != jnp.float32
     return GroupNormF32Stats(
-        num_groups=min(ch // 4, 32), epsilon=1e-6,
+        num_groups=_num_groups(ch), epsilon=1e-6,
         follow_input_dtype=follow, name=name,
     )
 
