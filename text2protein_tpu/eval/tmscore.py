@@ -40,7 +40,12 @@ def kabsch(p: np.ndarray, q: np.ndarray):
     pc = p.mean(axis=0)
     qc = q.mean(axis=0)
     h = (p - pc).T @ (q - qc)
-    u, s, vt = np.linalg.svd(h)
+    if not np.isfinite(h).all():
+        return np.eye(3), qc - pc  # degenerate input: no rotation
+    try:
+        u, s, vt = np.linalg.svd(h)
+    except np.linalg.LinAlgError:
+        return np.eye(3), qc - pc
     d = np.sign(np.linalg.det(vt.T @ u.T))
     diag = np.diag([1.0, 1.0, d])
     r = vt.T @ diag @ u.T
