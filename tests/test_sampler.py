@@ -168,3 +168,40 @@ def test_chunked_sampler_matches_single_launch():
     assert nfe1 == nfe2 == 80
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_ode_sampler_matches_analytic_gaussian():
+    """Heun probability-flow ODE at 60 steps must hit the analytic Gaussian
+    target distribution (the PC chain needs ~200 stochastic steps)."""
+    from text2protein_tpu.diffusion.ode import get_ode_sampler
+
+    s0 = 0.5
+    sde = VESDE(N=2000, sigma_min=0.01, sigma_max=20.0)
+    model = AnalyticGaussianScoreModel(s0, 0.01, 20.0, 2000)
+    shape = (32, 8, 8, 2)
+    sampler = get_ode_sampler(sde, model, shape, num_steps=60)
+    out, nfe = sampler({}, jax.random.PRNGKey(0))
+    assert nfe == 120
+    out = np.asarray(out)
+    std = out.std()
+    assert abs(std - s0) / s0 < 0.12, std
+    assert abs(out.mean()) < 0.05
+    # deterministic given the key
+    out2, _ = sampler({}, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(out, np.asarray(out2))
+
+
+def test_ode_sampler_conditioning_clamp():
+    from text2protein_tpu.diffusion.ode import get_ode_sampler
+
+    sde = VESDE(N=100, sigma_min=0.01, sigma_max=10.0)
+    model = AnalyticGaussianScoreModel(1.0, 0.01, 10.0, 100)
+    b, n, c = 2, 8, 5
+    v = np.zeros((b, n, n), bool)
+    v[:, :5, :5] = True
+    sampler = get_ode_sampler(sde, model, (b, n, n, c), num_steps=20)
+    out, _ = sampler({}, jax.random.PRNGKey(1),
+                     condition={"length": jnp.asarray(v)})
+    out = np.asarray(out)
+    np.testing.assert_array_equal(out[..., -1], v.astype(np.float32))
+    assert np.all(out[~v] == 0.0)
