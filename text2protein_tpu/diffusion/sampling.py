@@ -282,7 +282,16 @@ def get_pc_sampler(
 def get_sampling_fn(config, sde, model, shape, eps, num_steps=None,
                     chunk_size=None):
     """Config-driven sampler factory (`/root/reference/score_sde_pytorch/
-    sampling.py:78-104`)."""
+    sampling.py:78-104`). `sampling.method: pc` (reference default) or
+    `ode` (Heun probability-flow, diffusion/ode.py)."""
+    method = str(config.sampling.get("method", "pc")).lower()
+    if method == "ode":
+        from .ode import get_ode_sampler
+
+        return get_ode_sampler(
+            sde, model, shape, num_steps=num_steps or 100,
+            denoise=config.sampling.noise_removal, eps=eps,
+        )
     n = num_steps or sde.N
     if chunk_size is None and n > 1000 and n % 1000 == 0:
         chunk_size = 1000  # long trajectories run as multiple launches
