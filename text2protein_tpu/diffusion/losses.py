@@ -66,7 +66,9 @@ def get_sde_loss_fn(sde, model, train: bool, condition=(), eps: float = 1e-5,
     """Returns loss_fn(params, batch, rng) -> scalar loss."""
     condition = tuple(condition or ())
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, t=None, z=None):
+        # `t`/`z` are injectable for deterministic parity testing against the
+        # reference loss (tests/test_parity_torch.py); training passes None.
         coords_6d = batch["coords_6d"]
         mask_pair = batch["mask_pair"]
         b = coords_6d.shape[0]
@@ -82,8 +84,10 @@ def get_sde_loss_fn(sde, model, train: bool, condition=(), eps: float = 1e-5,
             sde, model, params, train=train, dropout_rng=k_dropout
         )
 
-        t = jax.random.uniform(k_t, (b,)) * (sde.T - eps) + eps
-        z = jax.random.normal(k_z, coords_6d.shape)
+        if t is None:
+            t = jax.random.uniform(k_t, (b,)) * (sde.T - eps) + eps
+        if z is None:
+            z = jax.random.normal(k_z, coords_6d.shape)
         mean, std = sde.marginal_prob(coords_6d, t)
         perturbed = mean + bcast(std, coords_6d.ndim) * z
 

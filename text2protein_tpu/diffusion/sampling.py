@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import sde as sde_lib
 from .sde import bcast
@@ -272,7 +273,10 @@ def get_pc_sampler(
             t_chunk = timesteps[i * chunk_size : (i + 1) * chunk_size]
             x, x_mean, key = _chunk(params, x, x_mean, key, t_chunk, cmask,
                                     x_initial, context, context_mask)
-            jax.block_until_ready(x)
+            # Inter-chunk barrier via a scalar host transfer:
+            # jax.block_until_ready does not guarantee completion on the axon
+            # TPU tunnel, but fetching an element of the chunk's output does.
+            np.asarray(x[(0,) * x.ndim])
         x_mean = jnp.where(cmask, x_mean, x_initial)
         return (x_mean if denoise else x), N * (n_steps + 1)
 

@@ -1,0 +1,12 @@
+"""Interop with the PyTorch reference implementation.
+
+`torch_port` converts a reference `UNetModel` checkpoint/state-dict
+(`/root/reference/score_sde_pytorch/models/ncsnpp.py:71-263`) into Flax
+parameters for `text2protein_tpu.models.ScoreUNet`, enabling (a) migration of
+reference-trained checkpoints onto TPU and (b) fp32 numerical-parity testing
+against the reference.
+"""
+
+from .torch_port import build_param_mapping, flax_params_from_torch_state
+
+__all__ = ["build_param_mapping", "flax_params_from_torch_state"]
