@@ -20,45 +20,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def synth_records(num, n_max, rng):
-    """Synthetic 2-3 helix bundles with realistic backbone geometry."""
-    from text2protein_tpu.data.featurize import featurize_structure
+    """Synthetic helix bundles with ideal covalent geometry (torsion-space
+    construction, so the theta/phi orientation channels are self-consistent
+    — see data/synthetic.py)."""
+    from text2protein_tpu.data.synthetic import helix_bundle_dataset
 
-    records = []
-    while len(records) < num:
-        L = int(rng.randint(max(16, n_max // 2), n_max + 1))
-        n_helices = int(rng.randint(2, 4))
-        seg = L // n_helices
-        coords = []
-        origin = np.zeros(3)
-        direction = np.array([0.0, 0.0, 1.0])
-        for h in range(n_helices):
-            t = np.deg2rad(100.0) * np.arange(seg)
-            helix = np.stack(
-                [2.3 * np.cos(t), 2.3 * np.sin(t), 1.5 * np.arange(seg)], -1
-            )
-            # alternate direction, pack side by side
-            if h % 2 == 1:
-                helix = helix[::-1] * np.array([1, 1, 1.0])
-            helix = helix + origin + rng.randn(3) * 0.5
-            origin = origin + np.array([9.0, rng.randn() * 2, 0.0])
-            coords.append(helix)
-        ca = np.concatenate(coords)[:L]
-        L = len(ca)  # may be < requested when segments round down
-        if L < 16:
-            continue
-        tang = np.gradient(ca, axis=0)
-        tang /= np.linalg.norm(tang, axis=1, keepdims=True) + 1e-9
-        bb = np.stack(
-            [ca - 1.46 * tang, ca, ca + 1.52 * tang], axis=1
-        ) + rng.randn(L, 3, 3) * 0.02
-        c6d, mask_pair, _ = featurize_structure(
-            bb, np.ones(L), ss_constraints=False
-        )
-        if c6d is None:
-            continue
-        records.append({"coords_6d": c6d, "mask_pair": mask_pair, "L": L,
-                        "bb": bb})
-    return records
+    return helix_bundle_dataset(num, n_max, seed=int(rng.randint(1 << 30)))
 
 
 def main():

@@ -93,3 +93,38 @@ def test_mse_and_length_inference():
     assert abs(mse_6d(sample2, gt, l) - want) < 1e-6
     # geometry-channel restriction
     assert abs(mse_6d(sample2, gt, l, channels=slice(0, 4)) - 0.25 / 4) < 1e-6
+
+
+def test_tm_score_rigid_transform_is_one_multi_length():
+    """Regression for the seed-battery bug: a rigidly transformed copy of a
+    compact multi-segment structure must score ~1 at several lengths (the
+    old gapless-threading stride skipped offset 0, and refinement from a
+    shifted seed got stuck at TM ~0.58)."""
+    from text2protein_tpu.data.synthetic import helix_bundle_backbone
+    from text2protein_tpu.eval.tmscore import tm_score
+
+    rng = np.random.RandomState(0)
+    for L in (24, 48, 65, 100):
+        ca = helix_bundle_backbone(L, seed=L)[:, 1]
+        # random rotation + translation + tiny noise
+        q, _ = np.linalg.qr(rng.randn(3, 3))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        ca2 = ca @ q.T + rng.randn(3) * 10 + rng.randn(*ca.shape) * 0.1
+        tm = tm_score(ca2, ca)
+        assert tm > 0.95, (L, tm)
+
+
+def test_tm_score_shifted_fragment():
+    """A structure equal to a window of another must align at high TM with
+    the correct offset (exercises non-zero-offset threading seeds)."""
+    from text2protein_tpu.data.synthetic import helix_bundle_backbone
+    from text2protein_tpu.eval.tmscore import tm_score
+
+    ca = helix_bundle_backbone(80, seed=7)[:, 1]
+    frag = ca[25:70]
+    tm = tm_score(frag, frag)  # self
+    assert tm > 0.99
+    # fragment vs full, normalized by fragment length
+    tm2 = tm_score(ca, frag, l_target=len(frag))
+    assert tm2 > 0.9, tm2

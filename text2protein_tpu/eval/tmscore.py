@@ -81,30 +81,32 @@ def _tm_of_alignment(xa, ya, l_target, d0):
 
 
 def _nw_dp(score_mat, gap_open=-0.6):
-    """Needleman-Wunsch with linear gap penalty; returns index pairs."""
+    """Needleman-Wunsch with linear gap penalty; returns index pairs.
+
+    Vectorized over anti-diagonals: cells on diagonal k depend only on
+    diagonals k-1 (up/left) and k-2 (diag), so each diagonal is one numpy
+    step — ~100x faster than the per-cell Python loop on L=256 pairs.
+    """
     l1, l2 = score_mat.shape
     val = np.zeros((l1 + 1, l2 + 1))
     ptr = np.zeros((l1 + 1, l2 + 1), dtype=np.int8)  # 0 diag, 1 up, 2 left
-    for i in range(1, l1 + 1):
-        val[i, 0] = val[i - 1, 0] + gap_open
-        ptr[i, 0] = 1
-    for j in range(1, l2 + 1):
-        val[0, j] = val[0, j - 1] + gap_open
-        ptr[0, j] = 2
-    for i in range(1, l1 + 1):
-        diag = val[:-1, :-1][i - 1] + score_mat[i - 1]
-        for j in range(1, l2 + 1):
-            d = val[i - 1, j - 1] + score_mat[i - 1, j - 1]
-            u = val[i - 1, j] + gap_open
-            l = val[i, j - 1] + gap_open
-            if d >= u and d >= l:
-                val[i, j] = d
-            elif u >= l:
-                val[i, j] = u
-                ptr[i, j] = 1
-            else:
-                val[i, j] = l
-                ptr[i, j] = 2
+    val[1:, 0] = gap_open * np.arange(1, l1 + 1)
+    val[0, 1:] = gap_open * np.arange(1, l2 + 1)
+    ptr[1:, 0] = 1
+    ptr[0, 1:] = 2
+    for k in range(2, l1 + l2 + 1):  # anti-diagonal index: i + j = k
+        i_lo, i_hi = max(1, k - l2), min(l1, k - 1)
+        if i_lo > i_hi:
+            continue
+        i = np.arange(i_lo, i_hi + 1)
+        j = k - i
+        d = val[i - 1, j - 1] + score_mat[i - 1, j - 1]
+        u = val[i - 1, j] + gap_open
+        l = val[i, j - 1] + gap_open
+        best = np.maximum(d, np.maximum(u, l))
+        p = np.where(d >= best, 0, np.where(u >= l, 1, 2)).astype(np.int8)
+        val[i, j] = best
+        ptr[i, j] = p
     pairs = []
     i, j = l1, l2
     while i > 0 and j > 0:
@@ -121,44 +123,42 @@ def _nw_dp(score_mat, gap_open=-0.6):
 
 
 def _initial_alignments(x, y):
-    """Candidate seed alignments: gapless threads + fragment superpositions."""
+    """Candidate seed alignments, TM-align-style battery
+    (`/root/reference/tm/TMalign.cpp` gapless + fragment initials):
+    gapless threads at a stride ALWAYS including offset 0 and its
+    neighborhood, plus fragment windows at several anchor positions."""
     l1, l2 = len(x), len(y)
     cands = []
-    # gapless threading at several offsets
-    for off in range(-(l1 - 5), l2 - 4, max(1, min(l1, l2) // 10)):
+
+    def thread(off):
         i0, j0 = max(0, -off), max(0, off)
         n = min(l1 - i0, l2 - j0)
         if n >= 5:
             cands.append(list(zip(range(i0, i0 + n), range(j0, j0 + n))))
-    # central-fragment seed
-    f = min(l1, l2, 20)
-    cands.append(list(zip(range(f), range(f))))
+
+    step = max(1, min(l1, l2) // 50)
+    offsets = set(range(-(l1 - 5), l2 - 4, step))
+    offsets.update((-2, -1, 0, 1, 2))  # identity neighborhood, always seeded
+    for off in sorted(o for o in offsets if -(l1 - 5) <= o <= l2 - 5):
+        thread(off)
+
+    # fragment windows: short gapless pieces anchored at start/quarters/end
+    f = max(5, min(l1, l2, 20))
+    anchors1 = {0, max(0, l1 // 4 - f // 2), max(0, l1 // 2 - f // 2),
+                max(0, 3 * l1 // 4 - f // 2), max(0, l1 - f)}
+    anchors2 = {0, max(0, l2 // 2 - f // 2), max(0, l2 - f)}
+    for a1 in anchors1:
+        for a2 in anchors2:
+            n = min(f, l1 - a1, l2 - a2)
+            if n >= 5:
+                cands.append(list(zip(range(a1, a1 + n), range(a2, a2 + n))))
     return cands
 
 
-def tm_score(coords1, coords2, l_target: int | None = None, max_iter: int = 20):
-    """TM-score of structure 1 vs structure 2 (CA coords, (L, 3) each),
-    normalized by `l_target` (defaults to len(coords2) — the reference's
-    `tm_norm_chain2`, `/root/reference/tm/TMalign.py:47-53`)."""
-    x = np.asarray(coords1, dtype=np.float64)
-    y = np.asarray(coords2, dtype=np.float64)
-    l_target = l_target or len(y)
-    d0 = d0_for_length(l_target)
-
+def _refine(x, y, pairs, l_target, d0, max_iter):
+    """Iterative refinement: superpose on current pairs -> TM-score matrix ->
+    NW DP -> new pairs. Returns the best TM seen."""
     best_tm = 0.0
-    best_pairs = None
-    for pairs in _initial_alignments(x, y):
-        idx = np.array(pairs)
-        tm = _tm_of_alignment(x[idx[:, 0]], y[idx[:, 1]], l_target, d0)
-        if tm > best_tm:
-            best_tm, best_pairs = tm, pairs
-
-    if best_pairs is None:
-        return 0.0
-
-    # iterative refinement: superpose on current pairs -> TM-score matrix ->
-    # NW DP -> new pairs
-    pairs = best_pairs
     for _ in range(max_iter):
         idx = np.array(pairs)
         r, t = kabsch(x[idx[:, 0]], y[idx[:, 1]])
@@ -170,12 +170,38 @@ def tm_score(coords1, coords2, l_target: int | None = None, max_iter: int = 20):
             break
         idx = np.array(new_pairs)
         tm = _tm_of_alignment(x[idx[:, 0]], y[idx[:, 1]], l_target, d0)
-        if tm > best_tm:
-            best_tm = tm
+        best_tm = max(best_tm, tm)
         if new_pairs == pairs:
             break
         pairs = new_pairs
+    return best_tm
 
+
+def tm_score(coords1, coords2, l_target: int | None = None, max_iter: int = 20,
+             n_refine_seeds: int = 3):
+    """TM-score of structure 1 vs structure 2 (CA coords, (L, 3) each),
+    normalized by `l_target` (defaults to len(coords2) — the reference's
+    `tm_norm_chain2`, `/root/reference/tm/TMalign.py:47-53`).
+
+    The top `n_refine_seeds` seed alignments are each refined with the
+    NW-DP/Kabsch loop (a single bad best-seed can trap the refinement)."""
+    x = np.asarray(coords1, dtype=np.float64)
+    y = np.asarray(coords2, dtype=np.float64)
+    l_target = l_target or len(y)
+    d0 = d0_for_length(l_target)
+
+    scored = []
+    for pairs in _initial_alignments(x, y):
+        idx = np.array(pairs)
+        tm = _tm_of_alignment(x[idx[:, 0]], y[idx[:, 1]], l_target, d0)
+        scored.append((tm, pairs))
+    if not scored:
+        return 0.0
+    scored.sort(key=lambda s: -s[0])
+
+    best_tm = scored[0][0]
+    for tm_seed, pairs in scored[:n_refine_seeds]:
+        best_tm = max(best_tm, _refine(x, y, pairs, l_target, d0, max_iter))
     return float(best_tm)
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -57,6 +58,7 @@ class Restraints:
     mask_dist: jnp.ndarray   # upper-tri, dist>0, not filtered
     mask_omega: jnp.ndarray  # upper-tri, |omega|>0, not filtered
     mask_full: jnp.ndarray   # not filtered (theta/phi run on full L x L)
+    mask_long: jnp.ndarray   # upper-tri, DIST_FILTER < dist < dmax (weak band)
     sep: jnp.ndarray         # |i-j| matrix
     dist_std: float = struct.field(pytree_node=False, default=2.0)
     angle_std: float = struct.field(pytree_node=False, default=0.1745)
@@ -74,6 +76,10 @@ def restraints_from_maps(npz: dict, dist_std=2.0, angle_std=10.0) -> Restraints:
     mask_dist = triu & (np.triu(dist, 1) > 0) & not_filtered
     mask_omega = triu & (np.abs(np.triu(omega, 1)) > 0) & not_filtered
     mask_full = not_filtered
+    # weak long-range band: distances between the reference's 12 A restraint
+    # filter and the featurizer clamp (dmax=20) carry real information the
+    # reference discards; exposed as a separate mask for long_dist_energy
+    mask_long = triu & (dist > DIST_FILTER) & (dist < 19.5)
 
     idx = np.arange(L)
     sep = np.abs(idx[:, None] - idx[None, :]).astype(np.float32)
@@ -86,6 +92,7 @@ def restraints_from_maps(npz: dict, dist_std=2.0, angle_std=10.0) -> Restraints:
         mask_dist=jnp.asarray(mask_dist),
         mask_omega=jnp.asarray(mask_omega),
         mask_full=jnp.asarray(mask_full),
+        mask_long=jnp.asarray(mask_long),
         sep=jnp.asarray(sep),
         dist_std=float(dist_std),
         angle_std=float(np.deg2rad(angle_std)),
@@ -152,6 +159,19 @@ def restraint_energy(bb, rst: Restraints, sep_max, weights):
     return e
 
 
+def long_dist_energy(bb, rst: Restraints, std: float = 3.0):
+    """Weak harmonic on the 12-20 A distance band (beyond the reference's
+    restraint filter) — regularizes loosely-contacted segments whose relative
+    placement the <12 A restraints under-determine (lever-arm folds)."""
+    from .geometry import virtual_cb_from_backbone
+
+    cb = virtual_cb_from_backbone(bb)
+    diff = cb[:, None, :] - cb[None, :, :]
+    d = jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-12)
+    e = ((d - rst.dist) / std) ** 2
+    return jnp.sum(jnp.where(rst.mask_long, e, 0.0))
+
+
 def ca_coordinate_energy(bb, ca_ref, std=1.0, tol=1.0):
     """Flat-harmonic CA coordinate restraints (`add_crd_rst`,
     `/root/reference/rosetta_min/utils.py:96-117`): zero inside +-tol, then
@@ -160,6 +180,130 @@ def ca_coordinate_energy(bb, ca_ref, std=1.0, tol=1.0):
     d = jnp.sqrt(jnp.sum((ca - ca_ref) ** 2, axis=-1) + 1e-12)
     viol = jnp.maximum(d - tol, 0.0) / std
     return jnp.sum(viol * viol)
+
+
+def bonded_energy(bb, len_std=0.02, ang_std=0.035, omega_std=0.1):
+    """Covalent backbone geometry energy for Cartesian-space minimization
+    (the cart_bonded term's role, `/root/reference/rosetta_min/data/
+    scorefxn_cart.wts`): harmonic bond lengths (N-CA, CA-C, C-N), bond angles
+    (N-CA-C, CA-C-N, C-N-CA) at Engh & Huber ideals, plus the omega-planarity
+    term (`scorefxn.wts` omega 0.5 — circular harmonic about trans)."""
+    from .geometry import (
+        B_N_CA, B_CA_C, B_C_N, A_N_CA_C, A_CA_C_N, A_C_N_CA,
+    )
+
+    n, ca, c = bb[:, 0], bb[:, 1], bb[:, 2]
+
+    def blen(a, b, b0):
+        d = jnp.sqrt(jnp.sum((a - b) ** 2, -1) + 1e-12)
+        return jnp.sum(((d - b0) / len_std) ** 2)
+
+    def bang(a, b, cc, a0):
+        return jnp.sum(((angle3(a, b, cc) - a0) / ang_std) ** 2)
+
+    e = blen(n, ca, B_N_CA) + blen(ca, c, B_CA_C) + blen(c[:-1], n[1:], B_C_N)
+    e += (
+        bang(n, ca, c, A_N_CA_C)
+        + bang(ca[:-1], c[:-1], n[1:], A_CA_C_N)
+        + bang(c[:-1], n[1:], ca[1:], A_C_N_CA)
+    )
+    om = dihedral4(ca[:-1], c[:-1], n[1:], ca[1:])
+    e += jnp.sum(_circular_sq(om, jnp.pi)) / omega_std**2
+    return e
+
+
+# Ramachandran basin parameters for the smooth statistical torsion prior:
+# von Mises mixture centered on the allowed basins (alpha-R, beta/PPII,
+# alpha-L), mirroring the bin table used for pose init
+# (`/root/reference/rosetta_min/utils.py:37-70`).
+_RAMA_MU = np.deg2rad(
+    np.array(
+        [
+            [-61.0, -41.0],  # alpha-R
+            [-120.0, 135.0],  # beta
+            [-72.0, 145.0],  # PPII
+            [57.0, 39.0],  # alpha-L
+        ]
+    )
+).astype(np.float32)
+_RAMA_W = np.array([0.45, 0.25, 0.25, 0.05], np.float32)
+_RAMA_KAPPA = np.array(
+    [[4.0, 4.0], [2.0, 2.0], [3.0, 3.0], [5.0, 5.0]], np.float32
+)
+
+
+def rama_energy(phi, psi):
+    """Smooth Ramachandran prior: -log of a von Mises mixture over the
+    allowed basins (the centroid `rama` term's role, weight 1.0 in
+    `/root/reference/rosetta_min/data/scorefxn.wts`). Differentiable, O(L)."""
+    mu = jnp.asarray(_RAMA_MU)
+    w = jnp.asarray(_RAMA_W)
+    kap = jnp.asarray(_RAMA_KAPPA)
+    # (L, K) log-density per basin (unnormalized)
+    lp = (
+        kap[None, :, 0] * (jnp.cos(phi[:, None] - mu[None, :, 0]) - 1.0)
+        + kap[None, :, 1] * (jnp.cos(psi[:, None] - mu[None, :, 1]) - 1.0)
+        + jnp.log(w)[None, :]
+    )
+    return -jnp.sum(jax.nn.logsumexp(lp, axis=-1))
+
+
+def rama_energy_cartesian(bb):
+    """rama_energy evaluated on torsions measured from Cartesian coordinates
+    (differentiable through dihedral4); interior residues only."""
+    n, ca, c = bb[:, 0], bb[:, 1], bb[:, 2]
+    phi = dihedral4(c[:-1], n[1:], ca[1:], c[1:])  # residues 1..L-1
+    psi = dihedral4(n[:-1], ca[:-1], c[:-1], n[1:])  # residues 0..L-2
+    return rama_energy(phi[:-1], psi[1:])  # align: residues 1..L-2
+
+
+def backbone_o_positions(bb):
+    """Carbonyl O placed from the peptide-plane geometry: in the C(i) frame,
+    opposite the C(i)->N(i+1) direction, 1.231 A, 121 deg from CA-C.
+    Last residue's O uses the psi-plane fallback."""
+    n, ca, c = bb[:, 0], bb[:, 1], bb[:, 2]
+    nn = jnp.concatenate([n[1:], (2 * c[-1] - ca[-1])[None]], axis=0)
+    v1 = ca - c
+    v2 = nn - c
+    v1 = v1 / jnp.sqrt(jnp.sum(v1 * v1, -1, keepdims=True) + 1e-12)
+    v2 = v2 / jnp.sqrt(jnp.sum(v2 * v2, -1, keepdims=True) + 1e-12)
+    bis = v1 + v2
+    bis = bis / jnp.sqrt(jnp.sum(bis * bis, -1, keepdims=True) + 1e-12)
+    return c - 1.231 * bis
+
+
+def hbond_energy(bb, d0=2.95, d_sigma=0.35, sep_min=2):
+    """Backbone H-bond well (the centroid `cen_hb` / `hbond_sr_bb+lr_bb`
+    terms' role, `/root/reference/rosetta_min/data/scorefxn*.wts`): attractive
+    Gaussian well on donor N(i) ... acceptor O(j) distance, gated by the
+    N-H...O collinearity (H placed ideally opposite the N neighbors' bisector)
+    and capped at one bond per donor (softmax-free: best-well max).
+    Returns a NEGATIVE number (more H-bonds -> lower energy)."""
+    n, ca, c = bb[:, 0], bb[:, 1], bb[:, 2]
+    o = backbone_o_positions(bb)
+    L = bb.shape[0]
+
+    # ideal amide H direction: opposite bisector of (CA-N, C_prev-N)
+    cprev = jnp.concatenate([(2 * n[0] - ca[0])[None], c[:-1]], axis=0)
+    u = ca - n
+    v = cprev - n
+    u = u / jnp.sqrt(jnp.sum(u * u, -1, keepdims=True) + 1e-12)
+    v = v / jnp.sqrt(jnp.sum(v * v, -1, keepdims=True) + 1e-12)
+    hdir = -(u + v)
+    hdir = hdir / jnp.sqrt(jnp.sum(hdir * hdir, -1, keepdims=True) + 1e-12)
+
+    rel = o[None, :, :] - n[:, None, :]  # donor i, acceptor j
+    d = jnp.sqrt(jnp.sum(rel * rel, -1) + 1e-12)
+    relu = rel / d[..., None]
+    colin = jnp.sum(relu * hdir[:, None, :], -1)  # cos(N->O vs N-H)
+    well = jnp.exp(-(((d - d0) / d_sigma) ** 2)) * jnp.clip(colin, 0.0, 1.0) ** 2
+
+    idx = jnp.arange(L)
+    sep_ok = jnp.abs(idx[:, None] - idx[None, :]) >= sep_min
+    well = jnp.where(sep_ok, well, 0.0)
+    # one H-bond per donor: soft max over acceptors
+    per_donor = jnp.max(well, axis=1)
+    return -jnp.sum(per_donor)
 
 
 def clash_energy(bb, r_clash=4.0):
