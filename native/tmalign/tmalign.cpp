@@ -3,14 +3,16 @@
 // Native-tier replacement for the reference's bundled Zhang-lab TMalign
 // binary (/root/reference/tm/TMalign.cpp, invoked as a subprocess from
 // /root/reference/utils.py:150-158). Implements the TM-align core from
-// scratch: PDB CA extraction, Kabsch superposition (SVD via Jacobi), initial
-// alignments (gapless threading + secondary-structure DP + fragment seeds),
-// iterative Needleman-Wunsch refinement on the TM-score matrix, and a -fast
-// mode with fewer seeds/iterations.
+// scratch: PDB + mmCIF CA extraction, Kabsch superposition (SVD via Jacobi),
+// an initial-alignment battery matching the reference's set (gapless
+// threading, secondary-structure DP, local fragment superposition, SS+score
+// combined DP — TMalign.cpp's get_initial/_ss/_local/_ssplus roles),
+// iterative Needleman-Wunsch refinement with two gap penalties from the
+// top-K seeds, and a -fast mode with fewer seeds/iterations.
 //
 // Output layout keeps the wrapper contract: chain-1/chain-2-normalized
 // "TM-score=" lines (the reference wrapper reads stdout line 13 / the first
-// TM-score line).
+// TM-score line), plus Seq_ID and optional -m rotation-matrix dump.
 //
 // Build: make  (g++ -O3 -std=c++17)
 
@@ -87,6 +89,108 @@ static Chain read_ca(const std::string &path) {
     c.seq.push_back(three_to_one(line.substr(17, 3)));
   }
   return c;
+}
+
+// mmCIF _atom_site reader (reference TMalign reads mmCIF too,
+// /root/reference/tm/TMalign.cpp get_PDB_lines infmt detection).
+static Chain read_ca_cif(const std::string &path) {
+  Chain c;
+  std::ifstream in(path);
+  if (!in) {
+    std::cerr << "cannot open " << path << "\n";
+    std::exit(1);
+  }
+  std::string line;
+  std::vector<std::string> cols;
+  bool in_loop = false, in_data = false;
+  int i_group = -1, i_atom = -1, i_comp = -1, i_x = -1, i_y = -1, i_z = -1,
+      i_model = -1, i_alt = -1, i_seq = -1, i_asym = -1;
+  std::string first_model, prev_key;
+  auto col = [&](const std::string &n) {
+    for (size_t i = 0; i < cols.size(); i++)
+      if (cols[i] == n) return (int)i;
+    return -1;
+  };
+  while (std::getline(in, line)) {
+    if (!line.empty() && line.back() == '\r') line.pop_back();
+    if (line.rfind("loop_", 0) == 0) {
+      in_loop = true;
+      in_data = false;
+      cols.clear();
+      continue;
+    }
+    if (in_loop && line.rfind("_atom_site.", 0) == 0) {
+      std::string name = line.substr(11);
+      name.erase(name.find_last_not_of(" \t") + 1);
+      cols.push_back(name);
+      continue;
+    }
+    if (in_loop && !cols.empty() && !in_data) {
+      if (line.rfind("_", 0) == 0) { in_loop = false; cols.clear(); continue; }
+      in_data = true;
+      i_group = col("group_PDB");
+      i_atom = col("auth_atom_id");
+      if (i_atom < 0) i_atom = col("label_atom_id");
+      i_comp = col("auth_comp_id");
+      if (i_comp < 0) i_comp = col("label_comp_id");
+      i_asym = col("auth_asym_id");
+      if (i_asym < 0) i_asym = col("label_asym_id");
+      i_seq = col("auth_seq_id");
+      if (i_seq < 0) i_seq = col("label_seq_id");
+      i_x = col("Cartn_x");
+      i_y = col("Cartn_y");
+      i_z = col("Cartn_z");
+      i_alt = col("label_alt_id");
+      i_model = col("pdbx_PDB_model_num");
+    }
+    if (!in_data) continue;
+    if (line.empty() || line[0] == '#' || line[0] == '_' ||
+        line.rfind("loop_", 0) == 0)
+      break;
+    // whitespace tokenization (quoted fields are not expected in atom rows)
+    std::istringstream ss(line);
+    std::vector<std::string> f;
+    std::string tok;
+    while (ss >> tok) f.push_back(tok);
+    if ((int)f.size() <= std::max({i_x, i_y, i_z, i_atom, i_comp})) continue;
+    if (i_group >= 0 && f[i_group] != "ATOM" && f[i_group] != "HETATM")
+      continue;
+    std::string atom = f[i_atom];
+    if (!atom.empty() && atom.front() == '"') atom = atom.substr(1, atom.size() - 2);
+    if (atom != "CA") continue;
+    if (i_alt >= 0 && f[i_alt] != "." && f[i_alt] != "A") continue;
+    if (i_model >= 0) {
+      if (first_model.empty()) first_model = f[i_model];
+      else if (f[i_model] != first_model) break;  // first model only
+    }
+    std::string key = (i_asym >= 0 ? f[i_asym] : "") + ":" +
+                      (i_seq >= 0 ? f[i_seq] : "");
+    if (key == prev_key) continue;
+    prev_key = key;
+    Vec3 v{std::stod(f[i_x]), std::stod(f[i_y]), std::stod(f[i_z])};
+    c.ca.push_back(v);
+    c.seq.push_back(three_to_one(f[i_comp]));
+  }
+  return c;
+}
+
+static bool is_cif(const std::string &path) {
+  auto dot = path.rfind('.');
+  if (dot != std::string::npos) {
+    std::string ext = path.substr(dot + 1);
+    if (ext == "cif" || ext == "mmcif") return true;
+  }
+  std::ifstream in(path);
+  std::string line;
+  while (std::getline(in, line)) {
+    if (line.empty()) continue;
+    return line.rfind("data_", 0) == 0 || line.rfind("#", 0) == 0;
+  }
+  return false;
+}
+
+static Chain read_chain(const std::string &path) {
+  return is_cif(path) ? read_ca_cif(path) : read_ca(path);
 }
 
 // ------------------------------------------------------------------- Kabsch
@@ -215,24 +319,37 @@ static double d0_len(int l) {
   return std::max(d0, 0.5);
 }
 
-// TM-score of a fixed pairing, optimized by iterative inlier superposition.
+// TM-score of a fixed pairing, optimized by iterative inlier superposition
+// from multiple starting windows over the aligned pairs (the reference's
+// TMscore8_search slides initial fragments of length n, n/2, n/4, n/8 across
+// the alignment, /root/reference/tm/TMalign.cpp TMscore8_search — starting
+// only from the full alignment's Kabsch gets stuck when that superposition
+// is bad, which is exactly the hard-pair case). `depth` = how many window
+// scales to try (1 = full alignment only, for cheap triage).
 static double tm_fixed(const std::vector<Vec3> &x, const std::vector<Vec3> &y,
                        const std::vector<int> &ix, const std::vector<int> &iy,
-                       int l_target, double d0, RT *best_rt = nullptr) {
-  size_t n = ix.size();
+                       int l_target, double d0, RT *best_rt = nullptr,
+                       int rounds = 4, int iters = 10, int depth = 4,
+                       double d8 = 1e9) {
+  int n = ix.size();
   if (n < 3) return 0.0;
   double best = 0.0;
-  for (double dcut : {d0 + 1.5, d0 + 0.5, d0, std::max(d0 - 0.5, 0.5)}) {
-    std::vector<int> sx(ix), sy(iy);
-    for (int it = 0; it < 10; it++) {
+  const double dcuts[4] = {d0 + 1.5, d0 + 0.5, d0, std::max(d0 - 0.5, 0.5)};
+
+  auto run = [&](const std::vector<int> &sx0, const std::vector<int> &sy0,
+                 double dcut) {
+    std::vector<int> sx(sx0), sy(sy0);
+    for (int it = 0; it < iters; it++) {
       if (sx.size() < 3) break;
       RT rt = kabsch(x, y, sx, sy);
       double score = 0.0;
       std::vector<int> nx, ny;
-      for (size_t k = 0; k < n; k++) {
+      for (int k = 0; k < n; k++) {
         Vec3 xt = apply(rt, x[ix[k]]);
         double d2 = dist2(xt, y[iy[k]]);
-        score += 1.0 / (1.0 + d2 / (d0 * d0));
+        // the reference drops pairs beyond d8 from the score during search
+        // AND final (/root/reference/tm/TMalign.cpp:1666,1744)
+        if (d2 <= d8 * d8) score += 1.0 / (1.0 + d2 / (d0 * d0));
         if (d2 < dcut * dcut) {
           nx.push_back(ix[k]);
           ny.push_back(iy[k]);
@@ -246,6 +363,20 @@ static double tm_fixed(const std::vector<Vec3> &x, const std::vector<Vec3> &y,
       if (nx.size() < 3 || nx == sx) break;
       sx.swap(nx);
       sy.swap(ny);
+    }
+  };
+
+  // full-alignment starts across the dcut schedule
+  for (int rc = 0; rc < rounds; rc++) run(ix, iy, dcuts[rc]);
+  // sliding-window starts at scales n/2, n/4, n/8 (dcut = d0+1.5; the
+  // window only sets the STARTING superposition, extension is the same)
+  for (int sc = 1; sc < depth; sc++) {
+    int w = n >> sc;
+    if (w < 4) break;
+    for (int s = 0; s + w <= n; s += std::max(w / 2, 1)) {
+      std::vector<int> sx(ix.begin() + s, ix.begin() + s + w);
+      std::vector<int> sy(iy.begin() + s, iy.begin() + s + w);
+      run(sx, sy, dcuts[0]);
     }
   }
   return best;
@@ -294,102 +425,227 @@ static std::string ca_ss(const std::vector<Vec3> &ca) {
   return s;
 }
 
-struct Result {
-  double tm1, tm2, rmsd;
-  int n_aligned;
+struct Aln {
+  std::vector<int> ix, iy;
 };
+
+struct Result {
+  double tm1, tm2, rmsd, seq_id;
+  int n_aligned;
+  RT rt;  // chain1 -> chain2 superposition of the final alignment
+  Aln aln;
+};
+
+// TM-score proximity matrix under a fixed superposition.
+static void score_matrix(const std::vector<Vec3> &x,
+                         const std::vector<Vec3> &y, const RT &rt, double d0,
+                         std::vector<std::vector<double>> &sm) {
+  int l1 = x.size(), l2 = y.size();
+  sm.assign(l1, std::vector<double>(l2));
+  for (int i = 0; i < l1; i++) {
+    Vec3 xt = apply(rt, x[i]);
+    for (int j = 0; j < l2; j++)
+      sm[i][j] = 1.0 / (1.0 + dist2(xt, y[j]) / (d0 * d0));
+  }
+}
+
+// DP search radius: d0 clamped to [4.5, 8] (the reference's d0_search,
+// /root/reference/tm/TMalign.cpp:1662-1664) — raw d0 makes the proximity
+// matrix too peaked for DP exploration on short chains.
+static double d0_search(double d0) {
+  return std::min(std::max(d0, 4.5), 8.0);
+}
+
+// Iterative NW refinement on the TM-score matrix from one seed alignment,
+// alternating gap penalties (the reference DP battery uses gap-open -0.6 and
+// 0, /root/reference/tm/TMalign.cpp DP_iter call sites).
+static double refine_seed(const std::vector<Vec3> &x,
+                          const std::vector<Vec3> &y, const Aln &seed,
+                          int l_target, double d0, double d8, int iters,
+                          double best_tm, Aln &best_aln) {
+  // Two DP frame modes x two gap penalties. frame=0 drives each DP round
+  // from the best-TM superposition of the current alignment (the reference
+  // DP_iter feeds TMscore8_search's t/u into the next NWDP_TM round — far
+  // pairs would poison a plain Kabsch frame); frame=1 uses the full-alignment
+  // Kabsch, which explores differently and wins on some topologies.
+  static const double gaps[2] = {-0.6, 0.0};
+  for (int frame = 0; frame < 2; frame++) {
+    for (double gap : gaps) {
+      Aln cur = seed;
+      RT rt;
+      double tm0 = tm_fixed(x, y, cur.ix, cur.iy, l_target, d0, &rt,
+                            4, 10, 2, d8);
+      if (tm0 > best_tm) { best_tm = tm0; best_aln = cur; }
+      for (int it = 0; it < iters && cur.ix.size() >= 3; it++) {
+        if (frame == 1) rt = kabsch(x, y, cur.ix, cur.iy);
+        std::vector<std::vector<double>> sm;
+        score_matrix(x, y, rt, d0_search(d0), sm);
+        Aln next;
+        nw_align(sm, gap, next.ix, next.iy);
+        if (next.ix.size() < 3) break;
+        RT rt_next;
+        double tm = tm_fixed(x, y, next.ix, next.iy, l_target, d0, &rt_next,
+                             4, 10, 2, d8);
+        bool same = (next.ix == cur.ix && next.iy == cur.iy);
+        if (tm > best_tm) { best_tm = tm; best_aln = next; }
+        cur = std::move(next);
+        rt = rt_next;
+        if (same) break;
+      }
+    }
+  }
+  return best_tm;
+}
 
 static Result tmalign(const Chain &c1, const Chain &c2, bool fast) {
   const auto &x = c1.ca;
   const auto &y = c2.ca;
   int l1 = x.size(), l2 = y.size();
+  int lmin = std::min(l1, l2);
   double d0_2 = d0_len(l2);
+  // pairs beyond d8 are excluded from scores during search and final, and
+  // from the reported alignment (reference TMalign.cpp:1666 'n_ali8')
+  double d8 = 1.5 * std::pow((double)l2, 0.3) + 3.5;
 
-  std::vector<std::pair<std::vector<int>, std::vector<int>>> seeds;
-  // gapless threading
-  int stride = fast ? std::max(1, std::min(l1, l2) / 8)
-                    : std::max(1, std::min(l1, l2) / 20);
+  std::vector<Aln> seeds;
+  // --- gapless threading (reference get_initial role)
+  int stride = fast ? std::max(1, lmin / 8) : std::max(1, lmin / 24);
   for (int off = -(l1 - 5); off < l2 - 4; off += stride) {
     int i0 = std::max(0, -off), j0 = std::max(0, off);
     int n = std::min(l1 - i0, l2 - j0);
     if (n < 5) continue;
-    std::vector<int> ix(n), iy(n);
-    for (int k = 0; k < n; k++) { ix[k] = i0 + k; iy[k] = j0 + k; }
-    seeds.emplace_back(ix, iy);
+    Aln a;
+    a.ix.resize(n);
+    a.iy.resize(n);
+    for (int k = 0; k < n; k++) { a.ix[k] = i0 + k; a.iy[k] = j0 + k; }
+    seeds.push_back(std::move(a));
   }
-  // secondary-structure NW seed
+  // --- secondary-structure NW seed (get_initial_ss role)
+  std::string s1 = ca_ss(x), s2 = ca_ss(y);
   {
-    std::string s1 = ca_ss(x), s2 = ca_ss(y);
     std::vector<std::vector<double>> sm(l1, std::vector<double>(l2));
     for (int i = 0; i < l1; i++)
       for (int j = 0; j < l2; j++) sm[i][j] = (s1[i] == s2[j]) ? 1.0 : 0.0;
-    std::vector<int> ix, iy;
-    nw_align(sm, -1.0, ix, iy);
-    if (ix.size() >= 5) seeds.emplace_back(ix, iy);
+    Aln a;
+    nw_align(sm, -1.0, a.ix, a.iy);
+    if (a.ix.size() >= 5) seeds.push_back(std::move(a));
+  }
+  // --- local fragment-superposition seeds (get_initial5/local role): each
+  // gapless fragment pair defines a rotation; the distance-NW alignment under
+  // it becomes a seed. This is what rescues hard/unrelated pairs where no
+  // global threading matches.
+  {
+    int f = std::max(8, std::min(20, lmin / 3));
+    int si = std::max(f / 2, l1 / (fast ? 6 : 20));
+    int sj = std::max(f / 2, l2 / (fast ? 6 : 20));
+    std::vector<int> fx(f), fy(f);
+    for (int i0 = 0; i0 + f <= l1; i0 += si)
+      for (int j0 = 0; j0 + f <= l2; j0 += sj) {
+        for (int k = 0; k < f; k++) { fx[k] = i0 + k; fy[k] = j0 + k; }
+        RT rt = kabsch(x, y, fx, fy);
+        std::vector<std::vector<double>> sm;
+        score_matrix(x, y, rt, d0_search(d0_2), sm);
+        Aln a;
+        nw_align(sm, -0.6, a.ix, a.iy);
+        if (a.ix.size() >= 5) seeds.push_back(std::move(a));
+      }
   }
 
-  double best_tm2 = 0.0;
-  std::vector<int> best_ix, best_iy;
-  for (auto &seed : seeds) {
-    double tm = tm_fixed(x, y, seed.first, seed.second, l2, d0_2);
-    if (tm > best_tm2) { best_tm2 = tm; best_ix = seed.first; best_iy = seed.second; }
+  // --- triage: quick-score every seed, keep the top K for full refinement
+  // (the reference refines each get_initial* battery member with DP_iter;
+  // top-K over a unified pool covers the same ground at bounded cost).
+  std::vector<std::pair<double, int>> ranked;
+  for (size_t s = 0; s < seeds.size(); s++) {
+    double tm = tm_fixed(x, y, seeds[s].ix, seeds[s].iy, l2, d0_2, nullptr,
+                         2, 6, 2, d8);
+    ranked.emplace_back(tm, (int)s);
+  }
+  std::sort(ranked.begin(), ranked.end(),
+            [](auto &a, auto &b) { return a.first > b.first; });
+  size_t top_k = std::min(ranked.size(), (size_t)(fast ? 3 : 24));
+
+  double best_tm = 0.0;
+  Aln best = seeds.empty() ? Aln{} : seeds[ranked[0].second];
+  int iters = fast ? 6 : 30;
+  for (size_t r = 0; r < top_k; r++) {
+    const Aln &seed = seeds[ranked[r].second];
+    double tm0 = tm_fixed(x, y, seed.ix, seed.iy, l2, d0_2, nullptr,
+                          4, 10, 4, d8);
+    if (tm0 > best_tm) { best_tm = tm0; best = seed; }
+    best_tm = refine_seed(x, y, seed, l2, d0_2, d8, iters, best_tm, best);
   }
 
-  // iterative NW refinement on the TM-score matrix
-  int iters = fast ? 8 : 20;
-  std::vector<int> ix = best_ix, iy = best_iy;
-  for (int it = 0; it < iters && ix.size() >= 3; it++) {
-    RT rt = kabsch(x, y, ix, iy);
-    std::vector<std::vector<double>> sm(l1, std::vector<double>(l2));
-    for (int i = 0; i < l1; i++) {
-      Vec3 xt = apply(rt, x[i]);
+  // --- SS+score combined seed from the current best superposition
+  // (get_initial_ssplus role), then one more refinement pass.
+  if (best.ix.size() >= 3) {
+    RT rt = kabsch(x, y, best.ix, best.iy);
+    std::vector<std::vector<double>> sm;
+    score_matrix(x, y, rt, d0_search(d0_2), sm);
+    for (int i = 0; i < l1; i++)
       for (int j = 0; j < l2; j++)
-        sm[i][j] = 1.0 / (1.0 + dist2(xt, y[j]) / (d0_2 * d0_2));
-    }
-    std::vector<int> nix, niy;
-    nw_align(sm, -0.6, nix, niy);
-    if (nix.size() < 3) break;
-    double tm = tm_fixed(x, y, nix, niy, l2, d0_2);
-    bool same = (nix == ix && niy == iy);
-    if (tm > best_tm2) { best_tm2 = tm; best_ix = nix; best_iy = niy; }
-    ix.swap(nix);
-    iy.swap(niy);
-    if (same) break;
+        sm[i][j] = 0.5 * sm[i][j] + 0.5 * (s1[i] == s2[j] ? 1.0 : 0.0);
+    Aln a;
+    nw_align(sm, -0.6, a.ix, a.iy);
+    if (a.ix.size() >= 5)
+      best_tm = refine_seed(x, y, a, l2, d0_2, d8, iters, best_tm, best);
+  }
+
+  // trim the alignment to pairs within d8 of the best superposition (the
+  // reference's n_ali8 convention for the reported alignment/RMSD/TM)
+  if (best.ix.size() >= 3) {
+    RT rt;
+    tm_fixed(x, y, best.ix, best.iy, l2, d0_2, &rt, 4, 20, 4, d8);
+    Aln trimmed;
+    for (size_t k = 0; k < best.ix.size(); k++)
+      if (dist2(apply(rt, x[best.ix[k]]), y[best.iy[k]]) <= d8 * d8) {
+        trimmed.ix.push_back(best.ix[k]);
+        trimmed.iy.push_back(best.iy[k]);
+      }
+    if (trimmed.ix.size() >= 3) best = trimmed;
   }
 
   Result res;
-  res.n_aligned = best_ix.size();
-  res.tm2 = tm_fixed(x, y, best_ix, best_iy, l2, d0_2);
-  res.tm1 = tm_fixed(x, y, best_ix, best_iy, l1, d0_len(l1));
-  // RMSD over the final alignment
-  RT rt = kabsch(x, y, best_ix, best_iy);
+  res.aln = best;
+  res.n_aligned = best.ix.size();
+  res.tm2 = tm_fixed(x, y, best.ix, best.iy, l2, d0_2, &res.rt, 4, 20, 4, d8);
+  res.tm1 = tm_fixed(x, y, best.ix, best.iy, l1, d0_len(l1), nullptr,
+                     4, 20, 4, d8);
+  // RMSD + Seq_ID over the final alignment
+  RT rt = kabsch(x, y, best.ix, best.iy);
   double ss = 0;
-  for (size_t k = 0; k < best_ix.size(); k++)
-    ss += dist2(apply(rt, x[best_ix[k]]), y[best_iy[k]]);
-  res.rmsd = best_ix.empty() ? 0.0 : std::sqrt(ss / best_ix.size());
+  int n_id = 0;
+  for (size_t k = 0; k < best.ix.size(); k++) {
+    ss += dist2(apply(rt, x[best.ix[k]]), y[best.iy[k]]);
+    if (c1.seq[best.ix[k]] == c2.seq[best.iy[k]]) n_id++;
+  }
+  res.rmsd = best.ix.empty() ? 0.0 : std::sqrt(ss / best.ix.size());
+  res.seq_id = best.ix.empty() ? 0.0 : (double)n_id / best.ix.size();
   return res;
 }
 
 int main(int argc, char **argv) {
   bool fast = false;
+  std::string matrix_path;
   std::vector<std::string> paths;
   for (int i = 1; i < argc; i++) {
     if (!std::strcmp(argv[i], "-fast")) fast = true;
+    else if (!std::strcmp(argv[i], "-m") && i + 1 < argc)
+      matrix_path = argv[++i];
     else paths.push_back(argv[i]);
   }
   if (paths.size() != 2) {
-    std::cerr << "usage: tmalign chain1.pdb chain2.pdb [-fast]\n";
+    std::cerr << "usage: tmalign chain1.pdb chain2.pdb [-fast] [-m matrix.txt]\n";
     return 2;
   }
-  Chain c1 = read_ca(paths[0]);
-  Chain c2 = read_ca(paths[1]);
+  Chain c1 = read_chain(paths[0]);
+  Chain c2 = read_chain(paths[1]);
   if (c1.ca.size() < 3 || c2.ca.size() < 3) {
     std::cerr << "chains too short\n";
     return 1;
   }
   Result r = tmalign(c1, c2, fast);
 
-  // Output layout: wrapper-compatible (first "TM-score=" line = chain-1
+  // Output layout: wrapper-compatible (first "TM-score= " line = chain-1
   // normalized; the reference wrapper parses stdout line 14, utils.py:157).
   std::printf("\n");
   std::printf(" ************************************************************\n");
@@ -401,10 +657,26 @@ int main(int argc, char **argv) {
   std::printf("Length of Chain_1: %zu residues\n", c1.ca.size());
   std::printf("Length of Chain_2: %zu residues\n", c2.ca.size());
   std::printf("\n");
-  std::printf("Aligned length= %d, RMSD= %6.2f\n", r.n_aligned, r.rmsd);
+  std::printf("Aligned length= %d, RMSD= %6.2f, "
+              "Seq_ID=n_identical/n_aligned= %5.3f\n",
+              r.n_aligned, r.rmsd, r.seq_id);
   std::printf("\n");
   std::printf("TM-score= %.5f (if normalized by length of Chain_1)\n", r.tm1);
   std::printf("TM-score= %.5f (if normalized by length of Chain_2)\n", r.tm2);
   std::printf("\n");
+
+  if (!matrix_path.empty()) {
+    // reference -m format: rows "m  t[m]  u[m][0..2]" for x' = t + u x
+    std::ofstream mf(matrix_path);
+    mf << " ------ The rotation matrix to rotate Chain_1 to Chain_2 ------\n";
+    mf << "m               t[m]        u[m][0]        u[m][1]        u[m][2]\n";
+    char buf[160];
+    for (int m = 0; m < 3; m++) {
+      std::snprintf(buf, sizeof buf,
+                    "%d %18.10f %14.10f %14.10f %14.10f\n", m, r.rt.t[m],
+                    r.rt.r[m][0], r.rt.r[m][1], r.rt.r[m][2]);
+      mf << buf;
+    }
+  }
   return 0;
 }

@@ -84,3 +84,123 @@ def test_python_and_native_agree(binary, pdbs):
     native = run_tmalign(pdbs / "a.pdb", pdbs / "c.pdb", binary_path=binary)
     python = tm_score_from_pdbs(pdbs / "a.pdb", pdbs / "c.pdb")
     assert abs(native - python) < 0.15  # same algorithm family, minor seeds diff
+
+
+def _first_tm(out: str) -> float:
+    for line in out.split("\n"):
+        if line.startswith("TM-score="):
+            return float(line.replace("=", " ").split()[1])
+    raise AssertionError(f"no TM-score line in:\n{out}")
+
+
+@pytest.fixture(scope="module")
+def reference_binary(tmp_path_factory):
+    """The reference repo's prebuilt Zhang-lab TMalign (read-only tree, no
+    exec bit — copy to tmp). Skip when absent or not runnable here."""
+    import shutil
+
+    src = Path("/root/reference/tm/TMalign")
+    if not src.exists():
+        pytest.skip("reference TMalign binary not present")
+    dst = tmp_path_factory.mktemp("refbin") / "TMalign"
+    shutil.copy(src, dst)
+    dst.chmod(0o755)
+    probe = subprocess.run([str(dst)], capture_output=True)
+    if b"TM-align" not in probe.stdout + probe.stderr:
+        pytest.skip("reference TMalign binary not runnable")
+    return dst
+
+
+def test_pinned_to_reference_binary(binary, reference_binary, tmp_path):
+    """Score agreement with the reference's own binary across difficulty
+    levels (`/root/reference/tm/TMalign.cpp`): related pairs within 2%;
+    hard/unrelated pairs within -5% (higher is a strictly better alignment
+    search, bounded at +15% as an overcount guard)."""
+    from text2protein_tpu.data.pdbio import write_backbone_pdb
+
+    rng = np.random.RandomState(7)
+    pairs = []
+    for i, (l1, l2, s1, s2, noise) in enumerate([
+        (60, 60, 0, 0, 0.5), (80, 80, 2, 2, 3.0),   # related
+        (60, 60, 0, 5, 0), (80, 60, 3, 7, 0),        # unrelated
+        (100, 80, 4, 9, 0), (70, 70, 8, 13, 0),
+    ]):
+        bb1 = make_trace(l1, s1)
+        if s1 == s2:
+            bb2 = bb1[:l2] + rng.randn(l2, 1, 3) * noise
+            q, _ = np.linalg.qr(rng.randn(3, 3))
+            if np.linalg.det(q) < 0:
+                q[:, 0] *= -1
+            bb2 = bb2 @ q.T + rng.randn(3) * 15
+        else:
+            bb2 = make_trace(l2, s2)
+        p1, p2 = tmp_path / f"x{i}.pdb", tmp_path / f"y{i}.pdb"
+        write_backbone_pdb(p1, bb1)
+        write_backbone_pdb(p2, bb2)
+        pairs.append((p1, p2, s1 == s2))
+
+    for p1, p2, related in pairs:
+        ref = _first_tm(subprocess.run(
+            [str(reference_binary), str(p1), str(p2)], capture_output=True
+        ).stdout.decode())
+        own = _first_tm(subprocess.run(
+            [str(binary), str(p1), str(p2)], capture_output=True
+        ).stdout.decode())
+        rel = (own - ref) / ref
+        if related:
+            assert abs(rel) < 0.02, f"{p1.name}: ref={ref} own={own}"
+        else:
+            assert -0.05 < rel < 0.15, f"{p1.name}: ref={ref} own={own}"
+
+
+def test_mmcif_input(binary, pdbs, tmp_path):
+    """mmCIF _atom_site parsing: same structure in PDB and mmCIF must align
+    to TM ~= 1 (reference reads mmCIF, `/root/reference/tm/TMalign.cpp:397`)."""
+    rows = []
+    for line in (pdbs / "a.pdb").read_text().splitlines():
+        if not line.startswith("ATOM"):
+            continue
+        rows.append(
+            f"ATOM {len(rows) + 1} {line[12:16].strip()} {line[17:20]} A "
+            f"{line[22:26].strip()} {line[30:38].strip()} "
+            f"{line[38:46].strip()} {line[46:54].strip()} 1"
+        )
+    cif = tmp_path / "a.cif"
+    cif.write_text(
+        "data_test\n#\nloop_\n_atom_site.group_PDB\n_atom_site.id\n"
+        "_atom_site.label_atom_id\n_atom_site.label_comp_id\n"
+        "_atom_site.auth_asym_id\n_atom_site.auth_seq_id\n_atom_site.Cartn_x\n"
+        "_atom_site.Cartn_y\n_atom_site.Cartn_z\n_atom_site.pdbx_PDB_model_num\n"
+        + "\n".join(rows) + "\n#\n"
+    )
+    out = subprocess.run(
+        [str(binary), str(cif), str(pdbs / "b.pdb")], capture_output=True
+    ).stdout.decode()
+    assert _first_tm(out) > 0.999
+
+
+def test_rotation_matrix_output(binary, pdbs, tmp_path):
+    """-m dumps the chain1->chain2 superposition in the reference format."""
+    mat = tmp_path / "m.txt"
+    subprocess.run(
+        [str(binary), str(pdbs / "a.pdb"), str(pdbs / "b.pdb"), "-m", str(mat)],
+        capture_output=True, check=True,
+    )
+    lines = mat.read_text().splitlines()
+    vals = np.array([[float(v) for v in l.split()[1:]] for l in lines[2:5]])
+    t, u = vals[:, 0], vals[:, 1:]
+    assert np.allclose(u @ u.T, np.eye(3), atol=1e-6)
+    # applying (u, t) to chain-1 CAs must reproduce chain 2 (rigid pair)
+    from text2protein_tpu.eval.tmscore import ca_from_pdb
+
+    ca1, ca2 = ca_from_pdb(pdbs / "a.pdb"), ca_from_pdb(pdbs / "b.pdb")
+    rmsd = np.sqrt(((ca1 @ u.T + t - ca2) ** 2).sum(-1).mean())
+    assert rmsd < 0.05
+
+
+def test_seq_id_reported(binary, pdbs):
+    out = subprocess.run(
+        [str(binary), str(pdbs / "a.pdb"), str(pdbs / "b.pdb")],
+        capture_output=True,
+    ).stdout.decode()
+    assert "Seq_ID=n_identical/n_aligned=" in out

@@ -64,12 +64,12 @@ def helix_bundle_torsions(L: int, seed: int = 0, n_helices: int | None = None,
     )
 
 
-def _compact_backbone(bb0, rg_target: float, iters: int = 300):
-    """Rg-guided compaction with the realization energy terms: pulls the
+def _compact_run(bb0, rg_target, iters: int = 300):
+    """Pure-JAX Rg-guided compaction of one (L, 3, 3) backbone: pulls the
     bundle to a native-like radius of gyration (Rg ~ 2.2 L^0.38) while
     clash, covalent-geometry, Ramachandran and H-bond terms keep it
-    physical; a final pass releases the Rg pull and re-idealizes."""
-    import jax
+    physical; a final pass releases the Rg pull and re-idealizes.
+    vmap-able across structures of equal L (the batched corpus path)."""
     import jax.numpy as jnp
 
     from ..realize.restraints import (
@@ -77,32 +77,36 @@ def _compact_backbone(bb0, rg_target: float, iters: int = 300):
     )
     from ..realize.minimize import _lbfgs_minimize
 
-    @jax.jit
-    def run(bb0):
-        def e_compact(bb):
-            ca = bb[:, 1]
-            rg = jnp.sqrt(
-                jnp.mean(jnp.sum((ca - ca.mean(0)) ** 2, -1)) + 1e-9
-            )
-            return (
-                30.0 * jnp.maximum(rg - rg_target, 0.0) ** 2 * bb.shape[0]
-                + 20.0 * clash_energy(bb)
-                + 1.0 * bonded_energy(bb)
-                + 1.0 * rama_energy_cartesian(bb)
-                + 10.0 * hbond_energy(bb)
-            )
+    def e_compact(bb):
+        ca = bb[:, 1]
+        rg = jnp.sqrt(
+            jnp.mean(jnp.sum((ca - ca.mean(0)) ** 2, -1)) + 1e-9
+        )
+        return (
+            30.0 * jnp.maximum(rg - rg_target, 0.0) ** 2 * bb.shape[0]
+            + 20.0 * clash_energy(bb)
+            + 1.0 * bonded_energy(bb)
+            + 1.0 * rama_energy_cartesian(bb)
+            + 10.0 * hbond_energy(bb)
+        )
 
-        def e_polish(bb):
-            return (
-                20.0 * clash_energy(bb)
-                + 2.0 * bonded_energy(bb, 0.01, 0.017, 0.05)
-                + 1.0 * rama_energy_cartesian(bb)
-                + 10.0 * hbond_energy(bb)
-            )
+    def e_polish(bb):
+        return (
+            20.0 * clash_energy(bb)
+            + 2.0 * bonded_energy(bb, 0.01, 0.017, 0.05)
+            + 1.0 * rama_energy_cartesian(bb)
+            + 10.0 * hbond_energy(bb)
+        )
 
-        bb = _lbfgs_minimize(e_compact, bb0, iters)
-        return _lbfgs_minimize(e_polish, bb, iters // 2)
+    bb = _lbfgs_minimize(e_compact, bb0, iters)
+    return _lbfgs_minimize(e_polish, bb, iters // 2)
 
+
+def _compact_backbone(bb0, rg_target: float, iters: int = 300):
+    import jax
+    import jax.numpy as jnp
+
+    run = jax.jit(lambda b: _compact_run(b, rg_target, iters))
     return np.asarray(run(jnp.asarray(bb0)))
 
 
@@ -139,6 +143,57 @@ def helix_bundle_backbone(L: int, seed: int = 0, n_candidates: int = 12,
     if compact:
         best = _compact_backbone(best, rg_target=2.2 * L**0.38)
     return best
+
+
+def helix_bundle_backbones(L: int, seeds, n_candidates: int = 12,
+                           compact: bool | None = None,
+                           compact_iters: int = 300):
+    """Batched (len(seeds), L, 3, 3) helix-bundle backbones of equal length.
+
+    Same selection + compaction as `helix_bundle_backbone`, but the NeRF
+    build and the Rg-guided compaction are vmapped across all seeds and run
+    as ONE device program — the corpus-generation path for the quality
+    training runs (a single structure takes ~43 s on this host's one CPU
+    core; a 48-structure batch takes seconds on the TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..realize.geometry import build_backbone
+
+    seeds = list(seeds)
+    phis, psis = [], []
+    for s in seeds:
+        for k in range(n_candidates):
+            phi, psi = helix_bundle_torsions(L, seed=s + 1000 * k)
+            phis.append(phi)
+            psis.append(psi)
+    build = jax.jit(jax.vmap(build_backbone))
+    bbs = np.asarray(
+        build(jnp.asarray(np.stack(phis)), jnp.asarray(np.stack(psis)))
+    ).reshape(len(seeds), n_candidates, L, 3, 3)
+
+    # candidate scoring (host, cheap): clash-free, compact, many long-range
+    # contacts — so the 6D distance map actually determines the fold
+    ca = bbs[..., 1, :]
+    d = np.linalg.norm(ca[..., :, None, :] - ca[..., None, :, :], axis=-1)
+    sep = np.abs(np.arange(L)[:, None] - np.arange(L)[None, :])
+    clashes = ((d < 3.6) & (sep >= 3)).sum((-1, -2)) // 2
+    rg = np.sqrt(((ca - ca.mean(-2, keepdims=True)) ** 2).sum(-1).mean(-1))
+    contact = ((d < 12) & (sep >= 8)).mean((-1, -2))
+    score = rg - 60.0 * contact + 100.0 * clashes
+    best = np.take_along_axis(
+        bbs, score.argmin(1)[:, None, None, None, None], axis=1
+    )[:, 0]
+
+    if compact is None:
+        compact = L >= 72
+    if not compact:
+        return best
+    rg_target = 2.2 * L**0.38
+    run = jax.jit(
+        jax.vmap(lambda b: _compact_run(b, rg_target, compact_iters))
+    )
+    return np.asarray(run(jnp.asarray(best)))
 
 
 def helix_bundle_dataset(num: int, n_max: int, seed: int = 0,

@@ -205,15 +205,17 @@ def tm_score(coords1, coords2, l_target: int | None = None, max_iter: int = 20,
     return float(best_tm)
 
 
-def tm_score_from_pdbs(path1, path2):
-    """CA-based TM-score of two PDB files (normalized by chain 2)."""
+def ca_from_pdb(path) -> np.ndarray:
+    """(L, 3) CA coordinates of a PDB file's amino residues."""
     from ..data.pdbio import read_pdb
 
-    def cas(path):
-        res = read_pdb(path).amino_residues()
-        return np.array([r.atom("CA") for r in res if r.atom("CA") is not None])
+    res = read_pdb(path).amino_residues()
+    return np.array([r.atom("CA") for r in res if r.atom("CA") is not None])
 
-    return tm_score(cas(path1), cas(path2))
+
+def tm_score_from_pdbs(path1, path2):
+    """CA-based TM-score of two PDB files (normalized by chain 2)."""
+    return tm_score(ca_from_pdb(path1), ca_from_pdb(path2))
 
 
 def run_tmalign(path1, path2, binary_path=None, fast=True) -> float:
