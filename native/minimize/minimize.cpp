@@ -158,8 +158,155 @@ static double wrap_pi(double x) {
 }
 
 struct Weights {
-  double dist = 1.0, orient = 1.0, vdw = 1.0;
+  double dist = 1.0, orient = 1.0, vdw = 1.0, rama = 1.0, hbond = 5.0;
 };
+
+// ------------------------- Ramachandran prior (torsion space, analytic)
+// von Mises mixture over the allowed basins, mirroring
+// realize/restraints.py rama_energy (the centroid `rama` term's role,
+// weight 1.0 in /root/reference/rosetta_min/data/scorefxn.wts).
+static const double RAMA_MU[4][2] = {
+    {-61.0 * M_PI / 180, -41.0 * M_PI / 180},    // alpha-R
+    {-120.0 * M_PI / 180, 135.0 * M_PI / 180},   // beta
+    {-72.0 * M_PI / 180, 145.0 * M_PI / 180},    // PPII
+    {57.0 * M_PI / 180, 39.0 * M_PI / 180}};     // alpha-L
+static const double RAMA_WMIX[4] = {0.45, 0.25, 0.25, 0.05};
+static const double RAMA_KAPPA[4][2] = {{4, 4}, {2, 2}, {3, 3}, {5, 5}};
+
+// E = -sum_i logsumexp_k[ kp*(cos(phi-mu_p)-1) + ks*(cos(psi-mu_s)-1) + ln w ]
+// over interior residues (phi_i defined for i>=1, psi_i for i<=L-2).
+static double rama_energy_torsion(const std::vector<double> &phi,
+                                  const std::vector<double> &psi,
+                                  std::vector<double> &gphi,
+                                  std::vector<double> &gpsi) {
+  int L = phi.size();
+  double E = 0.0;
+  for (int i = 1; i + 1 < L; i++) {
+    double lp[4], mx = -1e30;
+    for (int k = 0; k < 4; k++) {
+      lp[k] = RAMA_KAPPA[k][0] * (std::cos(phi[i] - RAMA_MU[k][0]) - 1.0) +
+              RAMA_KAPPA[k][1] * (std::cos(psi[i] - RAMA_MU[k][1]) - 1.0) +
+              std::log(RAMA_WMIX[k]);
+      mx = std::max(mx, lp[k]);
+    }
+    double Z = 0.0;
+    for (int k = 0; k < 4; k++) Z += std::exp(lp[k] - mx);
+    E += -(mx + std::log(Z));
+    for (int k = 0; k < 4; k++) {
+      double p = std::exp(lp[k] - mx) / Z;  // posterior weight
+      gphi[i] += p * RAMA_KAPPA[k][0] * std::sin(phi[i] - RAMA_MU[k][0]);
+      gpsi[i] += p * RAMA_KAPPA[k][1] * std::sin(psi[i] - RAMA_MU[k][1]);
+    }
+  }
+  return E;
+}
+
+// ------------------------- backbone H-bond well (Cartesian, analytic)
+// Mirrors realize/restraints.py hbond_energy (the centroid cen_hb /
+// hbond_sr_bb+lr_bb terms' role): attractive Gaussian well on donor
+// N(i)...acceptor O(j) distance, gated by N-H...O collinearity squared,
+// one bond per donor (max over acceptors). Returns a NEGATIVE energy.
+// Chain-rule helper: upstream grad g on u = normalize(x) -> grad on x.
+static V3 grad_through_unit(const V3 &x, const V3 &u, const V3 &g) {
+  double n = std::max(norm(x), 1e-12);
+  return (g - u * dot(u, g)) * (1.0 / n);
+}
+
+static double hbond_energy_and_grad(const Backbone &bb, double w, Grads &g,
+                                    double d0 = 2.95, double dsig = 0.35,
+                                    int sep_min = 2) {
+  int L = bb.N.size();
+  // carbonyl O: bisector construction (restraints.py backbone_o_positions)
+  std::vector<V3> O(L), u1(L), u2(L), bis(L), s2v(L);
+  for (int j = 0; j < L; j++) {
+    V3 nn = (j + 1 < L) ? bb.N[j + 1] : (bb.C[j] * 2.0 - bb.CA[j]);
+    u1[j] = unit(bb.CA[j] - bb.C[j]);
+    u2[j] = unit(nn - bb.C[j]);
+    s2v[j] = u1[j] + u2[j];
+    bis[j] = unit(s2v[j]);
+    O[j] = bb.C[j] - bis[j] * 1.231;
+  }
+  // ideal amide H direction: opposite bisector of (CA-N, Cprev-N)
+  std::vector<V3> hdir(L), hu(L), hv(L), hs(L);
+  for (int i = 0; i < L; i++) {
+    V3 cprev = (i >= 1) ? bb.C[i - 1] : (bb.N[0] * 2.0 - bb.CA[0]);
+    hu[i] = unit(bb.CA[i] - bb.N[i]);
+    hv[i] = unit(cprev - bb.N[i]);
+    hs[i] = hu[i] + hv[i];
+    hdir[i] = unit(hs[i]) * -1.0;
+  }
+
+  double E = 0.0;
+  for (int i = 0; i < L; i++) {
+    // best acceptor for this donor
+    int jb = -1;
+    double wb = 0.0, db = 0, colinb = 0;
+    V3 rub{};
+    for (int j = 0; j < L; j++) {
+      if (std::abs(i - j) < sep_min) continue;
+      V3 r = O[j] - bb.N[i];
+      double d = std::max(norm(r), 1e-9);
+      V3 ru = r * (1.0 / d);
+      double colin = dot(ru, hdir[i]);
+      double cl = std::min(std::max(colin, 0.0), 1.0);
+      double gd = (d - d0) / dsig;
+      double well = std::exp(-gd * gd) * cl * cl;
+      if (well > wb) { wb = well; jb = j; db = d; colinb = colin; rub = ru; }
+    }
+    if (jb < 0 || wb <= 0) continue;
+    E -= w * wb;
+    // gradients through the argmax pair (subgradient of the max, as in the
+    // JAX reference implementation's jnp.max)
+    double cl = std::min(std::max(colinb, 0.0), 1.0);
+    double gd = (db - d0) / dsig;
+    double gauss = std::exp(-gd * gd);
+    double dwell_dd = gauss * (-2.0 * gd / dsig) * cl * cl;
+    double dwell_dcolin =
+        (colinb > 0.0 && colinb < 1.0) ? gauss * 2.0 * cl : 0.0;
+    // dE = -w * dwell
+    double sE = -w;
+    V3 g_r = rub * (sE * dwell_dd) +
+             (hdir[i] - rub * colinb) * (sE * dwell_dcolin / db);
+    V3 g_h = rub * (sE * dwell_dcolin);
+    // r = O_j - N_i
+    g.N[i] -= g_r;
+    // O_j = C_j - 1.231 * bis_j
+    g.C[jb] += g_r;
+    {
+      V3 g_bis = g_r * -1.231;
+      V3 g_s2 = grad_through_unit(s2v[jb], bis[jb], g_bis);
+      V3 g_u1 = grad_through_unit(bb.CA[jb] - bb.C[jb], u1[jb], g_s2);
+      g.CA[jb] += g_u1;
+      g.C[jb] -= g_u1;
+      V3 nn_x = (jb + 1 < L) ? bb.N[jb + 1] : (bb.C[jb] * 2.0 - bb.CA[jb]);
+      V3 g_u2 = grad_through_unit(nn_x - bb.C[jb], u2[jb], g_s2);
+      if (jb + 1 < L) {
+        g.N[jb + 1] += g_u2;
+        g.C[jb] -= g_u2;
+      } else {  // nn = 2C - CA, so u2's base (nn - C) = C - CA
+        g.C[jb] += g_u2;
+        g.CA[jb] -= g_u2;
+      }
+    }
+    // hdir_i = -unit(hu + hv)
+    {
+      V3 g_hs = grad_through_unit(hs[i], hdir[i] * -1.0, g_h * -1.0);
+      V3 g_hu = grad_through_unit(bb.CA[i] - bb.N[i], hu[i], g_hs);
+      g.CA[i] += g_hu;
+      g.N[i] -= g_hu;
+      V3 cprev_x = (i >= 1) ? bb.C[i - 1] : (bb.N[0] * 2.0 - bb.CA[0]);
+      V3 g_hv = grad_through_unit(cprev_x - bb.N[i], hv[i], g_hs);
+      if (i >= 1) {
+        g.C[i - 1] += g_hv;
+        g.N[i] -= g_hv;
+      } else {  // cprev = 2N - CA -> d(cprev - N) = dN - dCA
+        g.N[0] += g_hv;
+        g.CA[0] -= g_hv;
+      }
+    }
+  }
+  return E;
+}
 
 // Full restraint + clash energy with per-atom gradients.
 static double energy_and_grad(const Backbone &bb, const Maps &m, double sep_max,
@@ -308,8 +455,17 @@ struct Objective {
     build_backbone(phi, psi, omega, bb);
     Grads g;
     double E = energy_and_grad(bb, *maps, sep_max, w, dist_std, ang_std, g);
+    if (w.hbond != 0) E += hbond_energy_and_grad(bb, w.hbond, g);
     std::vector<double> gphi, gpsi;
     torsion_grads(bb, g, gphi, gpsi);
+    if (w.rama != 0) {
+      std::vector<double> grp(L, 0.0), grs(L, 0.0);
+      E += w.rama * rama_energy_torsion(phi, psi, grp, grs);
+      for (int i = 0; i < L; i++) {
+        gphi[i] += w.rama * grp[i];
+        gpsi[i] += w.rama * grs[i];
+      }
+    }
     grad.resize(2 * L);
     for (int i = 0; i < L; i++) { grad[i] = gphi[i]; grad[L + i] = gpsi[i]; }
     return E;
@@ -463,8 +619,9 @@ static int selftest() {
 
   struct Case { const char *name; Weights w; };
   Case cases[] = {
-      {"clash", {0, 0, 1}}, {"dist", {1, 0, 0}}, {"orient", {0, 1, 0}},
-      {"all", {1, 1, 1}},
+      {"clash", {0, 0, 1, 0, 0}},  {"dist", {1, 0, 0, 0, 0}},
+      {"orient", {0, 1, 0, 0, 0}}, {"rama", {0, 0, 0, 1, 0}},
+      {"hbond", {0, 0, 0, 0, 5}},  {"all", {1, 1, 1, 1, 5}},
   };
   bool all_ok = true;
   for (auto &cs : cases) {
@@ -531,7 +688,10 @@ int main(int argc, char **argv) {
     std::vector<double> x(2 * L);
     for (int i = 0; i < L; i++) { x[i] = phi[i]; x[L + i] = psi[i]; }
 
-    Objective obj{&maps, 12.0, {dist_w(run), orient_w(run), vdw_w(run)},
+    // scorefxn.wts roles: rama 1.0, cen_hb 5.0 (realize/minimize.py W_RAMA/
+    // W_HBOND), alongside the reference's vdw/dist/orient ladders
+    Objective obj{&maps, 12.0,
+                  {dist_w(run), orient_w(run), vdw_w(run), 1.0, 5.0},
                   2.0, 10.0 * M_PI / 180.0, std::vector<double>(L, M_PI)};
     // staged schedule: short -> +medium -> +long (run.py:129-145)
     for (double sep_max : {12.0, 24.0, 1e9}) {
@@ -539,7 +699,7 @@ int main(int argc, char **argv) {
       lbfgs(obj, x, iters);
     }
     // score at unit weights over all bands
-    obj.w = {1.0, 1.0, 1.0};
+    obj.w = {1.0, 1.0, 1.0, 1.0, 5.0};
     obj.sep_max = 1e9;
     std::vector<double> g;
     double E = obj.eval(x, g);

@@ -22,7 +22,7 @@ def test_gradient_selftest(binary):
     r = subprocess.run([str(binary), "--selftest"], capture_output=True,
                        text=True)
     assert r.returncode == 0, r.stdout + r.stderr
-    assert r.stdout.count("PASS") == 4
+    assert r.stdout.count("PASS") == 6
 
 
 def test_native_recovers_structure(binary):
