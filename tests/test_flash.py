@@ -23,9 +23,14 @@ def interpret_pallas(monkeypatch):
     monkeypatch.setattr(
         flash_mod.pl, "pallas_call", functools.partial(orig, interpret=True)
     )
-    # bypass the jit wrapper so the monkeypatched pallas_call is picked up
+    # bypass the jit wrappers so the monkeypatched pallas_call is picked up
     monkeypatch.setattr(
-        flash_mod, "flash_attention", flash_mod.flash_attention.__wrapped__
+        flash_mod, "flash_attention_fwd",
+        flash_mod.flash_attention_fwd.__wrapped__,
+    )
+    monkeypatch.setattr(
+        flash_mod, "flash_attention_bwd",
+        flash_mod.flash_attention_bwd.__wrapped__,
     )
     yield
 
@@ -68,9 +73,51 @@ def test_supports_rejects_bad_shapes():
     assert not flash_mod.supports(q, q, q)
 
 
+@pytest.mark.parametrize(
+    "b,h,tq,tk,d,masked",
+    [
+        (1, 2, 64, 64, 16, True),
+        (2, 1, 128, 64, 32, False),
+        (1, 2, 256, 512, 32, True),   # cross-attention shape
+        (1, 1, 1024, 1024, 64, False),  # N=256 grid self-attention shape
+    ],
+)
+def test_flash_bwd_kernel_matches_xla_grads(interpret_pallas, b, h, tq, tk,
+                                            d, masked):
+    """The dedicated Pallas backward kernel (dQ/dK/dV from saved logsumexp)
+    must match the XLA attention's gradients."""
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, tq, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, tk, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, tk, d))
+    mask = jnp.tile(jnp.arange(tk)[None, :] < (tk * 3) // 4, (b, 1)) if masked else None
+    assert flash_mod.supports_bwd(q, k, v)
+
+    out, lse = flash_mod.flash_attention_fwd(q, k, v, scale=d**-0.5,
+                                             kv_mask=mask)
+    g = jax.random.normal(jax.random.PRNGKey(3), out.shape)
+    dq, dk, dv = flash_mod.flash_attention_bwd(
+        q, k, v, out, lse, g, scale=d**-0.5, kv_mask=mask
+    )
+
+    def ref(q_, k_, v_):
+        return _xla_attention(q_, k_, v_, d**-0.5, kv_mask=mask)
+
+    want_out, vjp = jax.vjp(ref, q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                               atol=1e-5)
+    for got, want in zip((dq, dk, dv), vjp(g)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4)
+
+
+def test_bwd_vmem_bound_falls_back():
+    q = jnp.zeros((1, 1, 4096, 64))
+    assert not flash_mod.supports_bwd(q, q, q)  # 67 MB logits block
+
+
 def test_flash_custom_vjp_matches_xla_grads(interpret_pallas):
     """Training path: gradient of the Pallas-forward op must match the XLA
-    attention's gradient (the backward recomputes via XLA)."""
+    attention's gradient (Pallas backward kernel where shapes allow)."""
     import text2protein_tpu.ops.attention as attn_mod
 
     b, h, tq, tk, d = 1, 2, 64, 64, 16

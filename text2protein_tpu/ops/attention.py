@@ -44,13 +44,26 @@ def _flash_op(scale, masked, q, k, v, maskf):
 
 
 def _flash_op_fwd(scale, masked, q, k, v, maskf):
-    out = _flash_op(scale, masked, q, k, v, maskf)
-    return out, (q, k, v, maskf)
+    from .flash import flash_attention_fwd
+
+    out, lse = flash_attention_fwd(
+        q, k, v, scale=scale, kv_mask=(maskf if masked else None)
+    )
+    return out, (q, k, v, maskf, out, lse)
 
 
 def _flash_op_bwd(scale, masked, residuals, g):
-    q, k, v, maskf = residuals
+    q, k, v, maskf, out, lse = residuals
+    from .flash import flash_attention_bwd, supports_bwd
 
+    if supports_bwd(q, k, v):
+        dq, dk, dv = flash_attention_bwd(
+            q, k, v, out, lse, g, scale=scale,
+            kv_mask=(maskf if masked else None),
+        )
+        return dq, dk, dv, jnp.zeros_like(maskf)
+
+    # fallback: recompute attention via the XLA path and differentiate it
     def ref(q_, k_, v_):
         mask = (maskf > 0.5) if masked else None
         return _xla_attention(q_, k_, v_, scale, kv_mask=mask)

@@ -47,7 +47,8 @@ def supports(q, k, v) -> bool:
     return _choose_block(tq, _DEFAULT_BQ) > 0 and _choose_block(tk, _DEFAULT_BK) > 0
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, bk, nk, masked, h):
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, l_ref, *, scale, bk,
+                  nk, masked, h):
     q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
     bq, d = q.shape
     b_idx = pl.program_id(0) // h  # batch row of the (full) mask array
@@ -79,11 +80,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, bk, nk, masked
 
     m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    # logsumexp rows for the backward kernel (the flash-bwd residual)
+    l_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))  # (bq, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
-def flash_attention(q, k, v, scale=None, kv_mask=None):
-    """q: (B, H, Tq, D); k, v: (B, H, Tk, D); kv_mask: (B, Tk) bool or None."""
+def flash_attention_fwd(q, k, v, scale=None, kv_mask=None):
+    """Forward pass returning (out, logsumexp-rows) — the flash residuals.
+
+    q: (B, H, Tq, D); k, v: (B, H, Tk, D); kv_mask: (B, Tk) bool or None.
+    Returns out (B, H, Tq, D) and L (B*H, Tq, 1) float32.
+    """
     b, h, tq, d = q.shape
     tk = k.shape[2]
     if scale is None:
@@ -102,7 +109,7 @@ def flash_attention(q, k, v, scale=None, kv_mask=None):
         mr = jnp.ones((b, 128), jnp.float32)  # placeholder, unread
 
     grid = (b * h, tq // bq)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, bk=bk, nk=nk, masked=masked, h=h
         ),
@@ -115,14 +122,136 @@ def flash_attention(q, k, v, scale=None, kv_mask=None):
             # row dynamically (a (1, Tk) block would violate TPU tiling).
             pl.BlockSpec(mr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            # trailing singleton keeps the (sublane, lane) block dims legal
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, tq, 1), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * tq * tk * d,
             bytes_accessed=(qr.size + kr.size + vr.size) * qr.dtype.itemsize,
             transcendentals=b * h * tq * tk,
         ),
     )(qr, kr, vr, mr)
-    return out.reshape(b, h, tq, d)
+    return out.reshape(b, h, tq, d), lse
+
+
+def flash_attention(q, k, v, scale=None, kv_mask=None):
+    """q: (B, H, Tq, D); k, v: (B, H, Tk, D); kv_mask: (B, Tk) bool or None."""
+    return flash_attention_fwd(q, k, v, scale=scale, kv_mask=kv_mask)[0]
+
+
+# --------------------------------------------------------------- backward
+# One-shot kernel per (batch*head): at this framework's attention sizes
+# (grid self-attn <= 32^2 = 1024 tokens even at N=256; text cross-attn
+# <= 512 tokens) the full (Tq, Tk) logits block fits VMEM comfortably, so
+# the backward recomputes P = exp(S - L) once from the saved logsumexp and
+# forms dQ/dK/dV with plain MXU matmuls — no online softmax needed.
+
+
+def supports_bwd(q, k, v) -> bool:
+    _, _, tq, d = q.shape
+    tk = k.shape[2]
+    if not supports(q, k, v):
+        return False
+    if tq % 8 != 0 or tk % 64 != 0:
+        return False
+    # full logits block in f32 + q/k/v/do residents must fit VMEM
+    vmem = 4 * (tq * tk + 2 * tq * d + 3 * tk * d + 2 * tq)
+    return vmem <= 10 * 1024 * 1024
+
+
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, mask_ref,
+                      dq_ref, dk_ref, dv_ref, *, scale, masked, h):
+    f32 = jnp.float32
+    q = q_ref[0].astype(f32)      # (tq, d)
+    k = k_ref[0].astype(f32)      # (tk, d)
+    v = v_ref[0].astype(f32)
+    do = do_ref[0].astype(f32)    # (tq, d)
+    lse = l_ref[0]       # (tq, 1)
+    delta = delta_ref[0]  # (tq, 1) = rowsum(dO * O)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    ) * scale                      # (tq, tk)
+    p = jnp.exp(s - lse)
+    if masked:
+        b_idx = pl.program_id(0) // h
+        mb = mask_ref[b_idx].astype(f32)   # (tk,)
+        p = p * mb[None, :]
+    # dV = P^T dO
+    dv_ref[0] = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    ).astype(dv_ref.dtype)
+    # dP = dO V^T ; dS = P * (dP - delta) * scale
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    )
+    ds = p * (dp - delta) * scale
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    ).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    ).astype(dk_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def flash_attention_bwd(q, k, v, out, lse, g, scale=None, kv_mask=None):
+    """dQ/dK/dV from the saved forward residuals (out, logsumexp rows)."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    if scale is None:
+        scale = d**-0.5
+    qr = q.reshape(b * h, tq, d)
+    kr = k.reshape(b * h, tk, d)
+    vr = v.reshape(b * h, tk, d)
+    dor = g.reshape(b * h, tq, d)
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    ).reshape(b * h, tq, 1)
+    masked = kv_mask is not None
+    mr = (
+        kv_mask.astype(jnp.float32)
+        if masked
+        else jnp.ones((b, 128), jnp.float32)
+    )
+
+    full = lambda i: (i, 0, 0)  # noqa: E731
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, scale=scale, masked=masked, h=h),
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, tq, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(mr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tq, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), full, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, tk, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, tk, d), v.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * tq * tk * d,
+            bytes_accessed=3 * (qr.size + kr.size + vr.size) * qr.dtype.itemsize,
+            transcendentals=b * h * tq * tk,
+        ),
+    )(qr, kr, vr, dor, lse, delta, mr)
+    return (
+        dq.reshape(b, h, tq, d),
+        dk.reshape(b, h, tk, d),
+        dv.reshape(b, h, tk, d),
+    )

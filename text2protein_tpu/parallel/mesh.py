@@ -57,14 +57,26 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_array(value, sharding):
+    """Place a host array under a sharding. Multi-process: the host array is
+    this process's share of the global batch (each host loads its slice of
+    the index space, data/loader.py host_id), assembled into one global
+    jax.Array — the TPU-pod analog of the reference's nonexistent DDP path."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(value)
+        )
+    return jax.device_put(value, sharding)
+
+
 def shard_batch(mesh: Mesh, batch, shard_grid: bool = False):
-    """Device_put a batch dict; optionally shard the pair-grid row axis over
-    'model' (sequence parallel)."""
+    """Place a batch dict on the mesh; optionally shard the pair-grid row
+    axis over 'model' (sequence parallel)."""
     if isinstance(batch, dict):
         shardings = batch_shardings(mesh, batch, shard_grid=shard_grid)
-        return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+        return {k: put_array(v, shardings[k]) for k, v in batch.items()}
     s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree.map(lambda x: put_array(x, s), batch)
 
 
 def param_spec(path_unused, x, model_axis_size: int) -> P:
@@ -86,7 +98,7 @@ def shard_params(mesh: Mesh, params):
     msize = mesh.shape["model"]
 
     def place(x):
-        return jax.device_put(x, NamedSharding(mesh, param_spec(None, x, msize)))
+        return put_array(x, NamedSharding(mesh, param_spec(None, x, msize)))
 
     return jax.tree.map(place, params)
 

@@ -139,27 +139,99 @@ class CachedTextEncoder(TextEncoder):
         )
 
 
+def _load_embed_table(model_name):
+    """Load ONLY the token-embedding weight from a HF checkpoint.
+
+    The reference materializes the full Vicuna-7B in fp32 (~28 GB host RAM)
+    just to keep `model.embed_tokens` (`/root/reference/train.py:108-112`);
+    here the table is read directly out of the (sharded) safetensors /
+    pytorch_model files, so memory is bounded by the embedding table itself.
+    Returns a torch float32 tensor (vocab, dim).
+    """
+    import json
+
+    import torch
+    from transformers.utils import cached_file
+
+    keys = (
+        "model.embed_tokens.weight",  # llama-family
+        "transformer.wte.weight",     # gpt2-family
+        "embed_tokens.weight",
+    )
+
+    def get(filename, required=False):
+        try:
+            return cached_file(model_name, filename)
+        except Exception:
+            if required:
+                raise
+            return None
+
+    def pick_key(available):
+        for k in keys:
+            if k in available:
+                return k
+        for k in available:
+            if k.endswith("embed_tokens.weight") or k.endswith("wte.weight"):
+                return k
+        raise KeyError(f"no embedding key among {sorted(available)[:8]}…")
+
+    # sharded / single safetensors
+    idx = get("model.safetensors.index.json")
+    st = get("model.safetensors") if idx is None else None
+    if idx is not None or st is not None:
+        from safetensors import safe_open
+
+        if idx is not None:
+            weight_map = json.load(open(idx))["weight_map"]
+            key = pick_key(weight_map)
+            st = get(weight_map[key], required=True)
+            with safe_open(st, framework="pt") as f:
+                return f.get_tensor(key).float()
+        with safe_open(st, framework="pt") as f:
+            key = pick_key(set(f.keys()))
+            return f.get_tensor(key).float()
+
+    # torch .bin fallback (loads one shard, not the whole model)
+    idx = get("pytorch_model.bin.index.json")
+    if idx is not None:
+        weight_map = json.load(open(idx))["weight_map"]
+        key = pick_key(weight_map)
+        shard = torch.load(get(weight_map[key], required=True),
+                           map_location="cpu", weights_only=True)
+        return shard[key].float()
+    shard = torch.load(get("pytorch_model.bin", required=True),
+                       map_location="cpu", weights_only=True)
+    return shard[pick_key(shard)].float()
+
+
 class HFEmbeddingEncoder(TextEncoder):
     """Reference-faithful path: HF tokenizer + LLM token-embedding table
     (`add_special_tokens=False, max_length=512, truncation=True`,
     `/root/reference/score_sde_pytorch/losses.py:96-103`). Requires the model
-    weights to be available locally."""
+    weights to be available locally; only the embedding table is read
+    (safetensors partial load), never the full model."""
 
     def __init__(self, model_name="lmsys/vicuna-7b-v1.3", max_tokens=512,
                  pad_to_bucket=64):
         import torch  # CPU-only is fine; runs offline
-        from transformers import AutoTokenizer, AutoModelForCausalLM
+        from transformers import AutoTokenizer
 
         self.max_tokens = max_tokens
         self.pad_to_bucket = pad_to_bucket
-        self.tokenizer = AutoTokenizer.from_pretrained(model_name, use_fast=False)
-        model = AutoModelForCausalLM.from_pretrained(
-            model_name, torch_dtype=torch.float32
-        )
-        # Only the embedding table is needed; free the rest.
-        self.embed = model.get_input_embeddings()
+        try:  # the reference uses the slow LlamaTokenizer (train.py:108-112)
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                model_name, use_fast=False
+            )
+        except Exception:  # fast-only checkpoints
+            self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+        if self.tokenizer.pad_token is None:
+            self.tokenizer.pad_token = (
+                self.tokenizer.eos_token or self.tokenizer.unk_token
+            )
+        weight = _load_embed_table(model_name)
+        self.embed = torch.nn.Embedding.from_pretrained(weight, freeze=True)
         self.dim = self.embed.embedding_dim
-        del model
 
     def encode(self, captions):
         import torch

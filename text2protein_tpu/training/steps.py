@@ -76,12 +76,12 @@ def shard_train_state(state: TrainState, mesh) -> TrainState:
     """Place params/opt/EMA on the mesh (FSDP over 'model' where divisible,
     replicated over 'data')."""
     from jax.sharding import NamedSharding
-    from ..parallel.mesh import param_spec
+    from ..parallel.mesh import param_spec, put_array
 
     msize = mesh.shape["model"]
 
     def place(x):
-        return jax.device_put(x, NamedSharding(mesh, param_spec(None, x, msize)))
+        return put_array(x, NamedSharding(mesh, param_spec(None, x, msize)))
 
     # Adam mu/nu share param shapes, so the same FSDP rule applies leaf-wise;
     # scalars (step, count) land replicated via the P() fallback.
