@@ -163,7 +163,8 @@ def bench_featurize(args):
 
 
 def bench_train(args):
-    """Training-step throughput (samples/sec/chip) on the flagship config."""
+    """Training-step throughput (samples/sec/chip) + MFU on the flagship
+    config (tiny shapes with --quick)."""
     import jax
     import jax.numpy as jnp
 
@@ -172,22 +173,32 @@ def bench_train(args):
     from text2protein_tpu.models import build_model
     from text2protein_tpu.training import create_train_state, make_train_step
 
-    config = load_config("configs/bench_l128.yml")
+    if args.quick:
+        config = load_config({
+            "data": {"max_res_num": 16, "num_channels": 5},
+            "model": {"condition": ["length"], "nf": 8, "ch_mult": [1, 2],
+                      "num_res_blocks": 1, "attn_resolutions": [8],
+                      "n_heads": 2, "context_dim": 16, "num_scales": 100},
+        })
+        args.batch = min(args.batch, 2)
+    else:
+        config = load_config("configs/bench_l128.yml")
     config.model.dtype = args.dtype
     b = args.batch
     n = config.data.max_res_num
     c = config.data.num_channels
 
     rng = np.random.RandomState(0)
+    ln = min(128, n)
     mask = np.zeros((b, n, n), bool)
-    mask[:, :128, :128] = True
+    mask[:, :ln, :ln] = True
     coords = rng.uniform(-1, 1, (b, n, n, c)).astype(np.float32) * mask[..., None]
     coords[..., -1] = mask
     batch = {
         "coords_6d": jnp.asarray(coords),
         "mask_pair": jnp.asarray(mask),
         "ss_spans": jnp.full((b, 32, 2), -1, jnp.int32),
-        "length": jnp.full((b,), 128, jnp.int32),
+        "length": jnp.full((b,), ln, jnp.int32),
         "context": jnp.asarray(
             rng.randn(b, 64, config.model.context_dim).astype(np.float32)
         ),
@@ -201,6 +212,16 @@ def bench_train(args):
     state, loss = step(state, batch, jax.random.PRNGKey(1))
     float(loss)  # sync
 
+    # XLA's own FLOP count for the whole compiled step (fwd+bwd+optimizer)
+    step_flops = None
+    try:
+        cost = step.lower(state, batch, jax.random.PRNGKey(1)).compile()
+        ca = cost.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        step_flops = float(ca["flops"])
+    except Exception as e:
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
     times = []
     for r in range(args.repeats):
         t0 = time.perf_counter()
@@ -209,13 +230,20 @@ def bench_train(args):
         times.append(time.perf_counter() - t0)
     dt = min(times)
     n_chips = jax.local_device_count()
+    # MFU vs TPU v5e peak (197 TFLOP/s bf16; f32 runs the MXU at half rate)
+    peak = 197e12 if args.dtype == "bfloat16" else 98.5e12
+    mfu = step_flops / dt / (peak * n_chips) if step_flops else None
     print(json.dumps({
         "metric": f"L{n}_train_samples_per_sec_per_chip",
         "value": round(b / dt / n_chips, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": None,
     }))
-    print(f"# batch={b} step_time={dt * 1000:.1f}ms", file=sys.stderr)
+    print(
+        f"# batch={b} step_time={dt * 1000:.1f}ms"
+        + (f" step_flops={step_flops:.3e} MFU={100 * mfu:.1f}%" if mfu else ""),
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":

@@ -154,3 +154,52 @@ def test_featurize_structure_ss_channels():
     assert c6d.shape == (8, 48, 48)
     # ss channels binary
     assert set(np.unique(c6d[4:7])) <= {0.0, 1.0}
+
+
+def _import_reference_dataset():
+    """Import the reference's dataset.py itself (biotite stubbed — the 6D
+    math never touches it). This closes the self-written-oracle gap: the
+    oracle below IS `/root/reference/dataset.py:396-450`."""
+    import sys
+    import types
+    from pathlib import Path
+
+    ref = "/root/reference"
+    if not Path(ref, "dataset.py").exists():
+        pytest.skip("reference tree not present")
+    if ref not in sys.path:
+        sys.path.insert(0, ref)
+    for name in ("biotite", "biotite.structure", "biotite.structure.io",
+                 "biotite.structure.io.pdb"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["biotite.structure.io.pdb"].PDBFile = object
+    import dataset as ref_dataset
+
+    return ref_dataset
+
+
+@pytest.mark.parametrize("L,seed", [(24, 0), (48, 3), (64, 7)])
+def test_matches_reference_get_coords6d_exactly(L, seed):
+    """Run the reference's ACTUAL get_coords6d as the oracle on random-walk
+    backbones and compare all four channels."""
+    ref_dataset = _import_reference_dataset()
+    rng = np.random.RandomState(seed)
+    steps = rng.randn(L, 3)
+    steps /= np.linalg.norm(steps, axis=1, keepdims=True)
+    for i in range(1, L):
+        steps[i] = 0.7 * steps[i - 1] + 0.3 * steps[i]
+        steps[i] /= np.linalg.norm(steps[i])
+    ca = np.cumsum(3.8 * steps, axis=0)
+    n = ca + np.array([0.9, -0.9, -0.5]) + rng.randn(L, 3) * 0.02
+    c = ca + np.array([-0.7, 0.9, 0.7]) + rng.randn(L, 3) * 0.02
+    xyz = np.stack([n, ca, c], axis=1)
+
+    want = ref_dataset.get_coords6d(xyz.copy(), dmax=20.0, normalize=True)
+    got = get_coords6d(xyz, dmax=20.0, normalize=True)
+    np.testing.assert_allclose(
+        np.nan_to_num(got), np.nan_to_num(want), atol=1e-10
+    )
+    got_jax = np.asarray(get_coords6d_jax(xyz.astype(np.float32)))
+    np.testing.assert_allclose(
+        np.nan_to_num(got_jax), np.nan_to_num(want), atol=2e-4
+    )

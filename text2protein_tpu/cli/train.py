@@ -172,6 +172,13 @@ def main(argv=None):
     epoch = 0
     t_last = time.time()
     snapshot_sampling_fn = None
+    # step-based cadences (the reference checkpoints/evals every epoch, but
+    # its epochs are ~90k records; with small corpora an epoch is seconds —
+    # honor the config's step-frequency keys instead)
+    meta_freq = max(1, int(config.training.snapshot_freq_for_preemption))
+    eval_freq = max(1, int(config.training.eval_freq))
+    last_meta = step
+    last_eval = step - eval_freq  # eval on the first epoch boundary
     while step < n_iters and epoch < config.training.epochs:
         epoch += 1
         # ---- train epoch
@@ -195,12 +202,21 @@ def main(argv=None):
         avg_train = float(np.mean(epoch_losses)) if epoch_losses else np.inf
         writer.scalar("avg_training_loss", avg_train, step)
 
-        # ---- preemption checkpoint every epoch (`train.py:185`)
-        ckpt.save_meta(state)
+        # ---- preemption checkpoint (`train.py:185`, cadence from
+        # training.snapshot_freq_for_preemption)
+        if step - last_meta >= meta_freq or step >= n_iters:
+            ckpt.save_meta(state)
+            last_meta = step
 
         # ---- eval epoch (EMA-swapped). The reference's test loader samples
         # WITH replacement (`train.py:66-72`), so batches are always full;
         # same here when the eval split is smaller than one batch.
+        if step - last_eval < eval_freq and step < n_iters:
+            if avg_train < best_train:
+                best_train = avg_train
+                ckpt.save_best(state, "train")
+            continue
+        last_eval = step
         eval_indices = eval_idx
         if len(eval_indices) < bs:
             eval_indices = host_rng.choice(eval_idx, size=bs, replace=True)
@@ -248,6 +264,8 @@ def main(argv=None):
             best_eval = avg_eval
             ckpt.save_best(state, "eval")
 
+    if last_meta != step:
+        ckpt.save_meta(state)
     writer.close()
     print(f"done at step {step}; workdir {workdir}")
     return workdir
