@@ -27,6 +27,16 @@ def main():
                    choices=["float32", "bfloat16"])
     p.add_argument("--metric", type=str, default="sample",
                    choices=["sample", "train", "featurize"])
+    p.add_argument("--config", type=str, default="configs/bench_l128.yml",
+                   help="config YAML (e.g. configs/test_config.yml for the "
+                        "reference-scale N=256 sampler)")
+    p.add_argument("--norm_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="override model.norm_dtype")
+    p.add_argument("--chunk", type=int, default=None,
+                   help="PC steps per device launch (default 1000, or 250 "
+                        "for N=256 — single launches must stay under the "
+                        "tunnel's wall-clock cap)")
     args = p.parse_args()
 
     import jax
@@ -54,9 +64,11 @@ def main():
         args.steps = min(args.steps, 100)
         args.batch = min(args.batch, 2)
     else:
-        cfg_dict = "configs/bench_l128.yml"
+        cfg_dict = args.config
     config = load_config(cfg_dict)
     config.model.dtype = args.dtype
+    if args.norm_dtype:
+        config.model.norm_dtype = args.norm_dtype
 
     b = args.batch
     n = config.data.max_res_num
@@ -92,8 +104,10 @@ def main():
         eps=eps,
         num_steps=args.steps,
         # single device executions are wall-clock-capped on the tunnel
-        # platform; chunk long trajectories into multiple launches
-        chunk_size=1000 if args.steps > 1000 else None,
+        # platform; chunk long trajectories into multiple launches (the
+        # N=256 model needs much smaller chunks than L=128)
+        chunk_size=args.chunk
+        or (100 if n >= 256 else (1000 if args.steps > 1000 else None)),
     )
 
     # compile + warm run (materialize on host: on the axon tunnel platform

@@ -1,0 +1,255 @@
+"""End-to-end quality loop on a trained checkpoint (VERDICT round-1 #7).
+
+Given a finished training workdir (cli/train.py), this driver:
+  1. restores the EMA model (best_eval -> best_train -> meta),
+  2. samples >= --num_designs 6D maps with per-record length conditions drawn
+     from the run's held-out test split (chunked PC sampler, reference
+     predictor/corrector settings),
+  3. scores every map against its ground-truth record with the reference's
+     6D-MSE semantics (`/root/reference/coords_compare.py:40-54`),
+  4. realizes 3D backbones (batched distance-geometry + Cartesian protocol,
+     designs x restarts vmapped on device),
+  5. runs the designed-vs-GT TM bucket sweep (> 0.5 / 0.4 / 0.3 counts,
+     `/root/reference/tm/TMalign.py:162-240`) and the designed-vs-train
+     novelty sweep (`TMalign.py:63-160`) with the native TM-align tool,
+  6. writes one report JSON with all of the above.
+
+Usage:
+  python scripts/quality_loop.py --workdir training/quality_l128/<stamp> \
+      [--num_designs 64] [--steps 1000] [--out reports/quality_10k.json]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", type=str, required=True)
+    p.add_argument("--processed", type=str, default=None,
+                   help="processed records dir (default: config's)")
+    p.add_argument("--num_designs", type=int, default=64)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--restarts", type=int, default=5)
+    p.add_argument("--max_iter", type=int, default=300)
+    p.add_argument("--max_train_refs", type=int, default=32,
+                   help="novelty sweep reference-set size")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--out", type=str, default="reports/quality_10k.json")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from text2protein_tpu.config import load_config
+    from text2protein_tpu.conditioning import length_mask
+    from text2protein_tpu.data import ProteinProcessedDataset, load_record
+    from text2protein_tpu.data.pdbio import write_backbone_pdb
+    from text2protein_tpu.diffusion import get_sde
+    from text2protein_tpu.diffusion.sampling import get_sampling_fn
+    from text2protein_tpu.eval.coords_compare import mse_6d
+    from text2protein_tpu.eval.tm_sweeps import (
+        gt_gen_tm_compare,
+        train_gen_tm_compare,
+    )
+    from text2protein_tpu.models import build_model
+    from text2protein_tpu.realize.minimize import realize_batch
+    from text2protein_tpu.text import build_text_encoder
+    from text2protein_tpu.training import CheckpointManager, create_train_state
+
+    workdir = Path(args.workdir)
+    config = load_config(str(workdir / "config.yml"))
+    processed = Path(args.processed or config.data.processed_dataset_path)
+    n = config.data.max_res_num
+    c = config.data.num_channels
+    bs = args.batch
+
+    dataset = ProteinProcessedDataset(str(processed))
+    test_ids = [
+        l.strip()
+        for l in (workdir / "test_ids.txt").read_text().splitlines()
+        if l.strip()
+    ]
+    train_ids = [
+        l.strip()
+        for l in (workdir / "train_ids.txt").read_text().splitlines()
+        if l.strip()
+    ]
+    records = []
+    for tid in test_ids:
+        path = processed / f"{tid}.npz"
+        if path.exists():
+            rec = load_record(path)
+            rec["id"] = tid
+            records.append(rec)
+    assert records, f"no test records found under {processed}"
+    print(f"{len(records)} test records; sampling {args.num_designs} designs")
+
+    # --- restore the trained state ------------------------------------------
+    sde, eps = get_sde(config)
+    model = build_model(config)
+    encoder = build_text_encoder(config)
+
+    rec0 = records[0]
+    L0 = int(rec0["coords"].shape[0])
+    init_batch = {
+        "coords_6d": jnp.zeros((bs, n, n, c), jnp.float32),
+        "mask_pair": jnp.zeros((bs, n, n), bool),
+        "ss_spans": jnp.full((bs, 32, 2), -1, jnp.int32),
+        "length": jnp.full((bs,), L0, jnp.int32),
+    }
+    emb0, emb_mask0 = encoder.encode([rec0.get("caption", "")] * bs)
+    init_batch["context"] = jnp.asarray(emb0)
+    init_batch["context_mask"] = jnp.asarray(emb_mask0)
+    template = create_train_state(config, model, jax.random.PRNGKey(0),
+                                  init_batch)
+    ckpt = CheckpointManager(workdir)
+    state = ckpt.restore_any(template, args.checkpoint)
+    step_trained = int(np.asarray(state.step))
+    print(f"restored checkpoint at step {step_trained}")
+    params = state.ema.params
+
+    # --- sample ---------------------------------------------------------------
+    sampler = get_sampling_fn(
+        config, sde, model, (bs, n, n, c), eps,
+        num_steps=args.steps,
+        chunk_size=500 if args.steps >= 500 else None,
+    )
+    designs = []  # (record, sample_cnn)
+    t0 = time.time()
+    rng = np.random.RandomState(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    n_batches = -(-args.num_designs // bs)
+    for bi in range(n_batches):
+        recs = [records[(bi * bs + j) % len(records)] for j in range(bs)]
+        lengths = jnp.asarray([r["coords"].shape[0] for r in recs], jnp.int32)
+        cond = {"length": length_mask(lengths, n)}
+        emb, emb_mask = encoder.encode([r.get("caption", "") for r in recs])
+        key, sub = jax.random.split(key)
+        sample, nfe = sampler(
+            params, sub, condition=cond,
+            context=jnp.asarray(emb), context_mask=jnp.asarray(emb_mask),
+        )
+        sample = np.asarray(sample)
+        for j, rec in enumerate(recs):
+            designs.append((rec, sample[j].transpose(2, 0, 1)))
+        print(f"  batch {bi + 1}/{n_batches} sampled "
+              f"({time.time() - t0:.0f}s elapsed)")
+    designs = designs[: args.num_designs]
+    sample_time = time.time() - t0
+
+    # --- 6D MSE vs ground truth (reference semantics: all channels, record-
+    # length crop) -------------------------------------------------------------
+    mses = []
+    for rec, cnn in designs:
+        L = int(rec["coords"].shape[0])
+        gt = np.zeros((c, n, n), np.float32)
+        gcnn = rec["coords_6d"]
+        gt[:, :L, :L] = gcnn[:, :L, :L]
+        mses.append(mse_6d(cnn, gt, L))
+    mse_stats = {
+        "avg": float(np.mean(mses)),
+        "min": float(np.min(mses)),
+        "max": float(np.max(mses)),
+        "std": float(np.std(mses)),
+    }
+    print(f"6D MSE avg {mse_stats['avg']:.4f}")
+
+    # --- realize (batched per length group) ----------------------------------
+    qdir = workdir / "quality"
+    ddir = qdir / "designs"
+    gdir = qdir / "gt"
+    tdir = qdir / "train_refs"
+    for d in (ddir, gdir, tdir):
+        d.mkdir(parents=True, exist_ok=True)
+
+    by_len = {}
+    for i, (rec, cnn) in enumerate(designs):
+        L = int(rec["coords"].shape[0])
+        by_len.setdefault(L, []).append(i)
+
+    t1 = time.time()
+    energies = np.zeros(len(designs))
+    pairs = []
+    for L, idxs in sorted(by_len.items()):
+        cnns = np.stack([designs[i][1] for i in idxs])
+        # force an exact length-L padding channel (the sampler's channel -1 is
+        # clamped by the condition, but guard against off-grid rounding)
+        msk = np.zeros((n, n), np.float32)
+        msk[:L, :L] = 1.0
+        cnns[:, -1] = msk
+        bbs, es = realize_batch(cnns, n_restarts=args.restarts,
+                                max_iter=args.max_iter, seed=args.seed)
+        for k, i in enumerate(idxs):
+            rec = designs[i][0]
+            name = f"design_{i:03d}_{rec['id']}"
+            dpath = ddir / f"{name}.pdb"
+            gpath = gdir / f"gt_{rec['id']}.pdb"
+            write_backbone_pdb(dpath, bbs[k])
+            if not gpath.exists():
+                write_backbone_pdb(gpath, rec["coords"])
+            pairs.append((name, dpath, gpath))
+            energies[i] = es[k]
+        print(f"  realized {len(idxs)} designs at L={L} "
+              f"({time.time() - t1:.0f}s elapsed)")
+    realize_time = time.time() - t1
+
+    # --- TM sweeps ------------------------------------------------------------
+    gt_sweep = gt_gen_tm_compare(pairs, out_path=qdir / "tm-scores-gt.json")
+    train_refs = []
+    rng.shuffle(train_ids)
+    for tid in train_ids[: args.max_train_refs]:
+        path = processed / f"{tid}.npz"
+        if not path.exists():
+            continue
+        rec = load_record(path)
+        rpath = tdir / f"{tid}.pdb"
+        write_backbone_pdb(rpath, rec["coords"])
+        train_refs.append(rpath)
+    novelty = train_gen_tm_compare(
+        [d for _, d, _ in pairs], train_refs,
+        out_path=qdir / "tm-scores-novelty.json",
+        max_train=args.max_train_refs,
+    )
+
+    report = {
+        "workdir": str(workdir),
+        "trained_steps": step_trained,
+        "num_designs": len(designs),
+        "pc_steps": args.steps,
+        "nfe": int(nfe),
+        "sample_time_s": round(sample_time, 1),
+        "realize_time_s": round(realize_time, 1),
+        "mse_6d": mse_stats,
+        "tm_gt": {
+            k: gt_sweep[k]
+            for k in ("tm_avg", "tm_std", "tm_min", "tm_max",
+                      "gt50", "gt40", "gt30", "lt30")
+        },
+        "tm_novelty_vs_train": {
+            k: novelty[k] for k in ("tm_avg", "tm_std", "tm_min", "tm_max")
+        },
+        "realization_energy": {
+            "avg": float(np.mean(energies)),
+            "max": float(np.max(energies)),
+        },
+        "platform": jax.devices()[0].platform,
+    }
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,3 +19,30 @@ Layer map (mirrors reference SURVEY.md §1, re-architected TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (set TEXT2PROTEIN_NO_JAX_CACHE=1 to
+    opt out). First compiles of the big configs through the axon TPU tunnel
+    take minutes; the persistent cache makes every later process launch with
+    the same shapes near-instant."""
+    import os
+
+    if os.environ.get("TEXT2PROTEIN_NO_JAX_CACHE"):
+        return
+    try:
+        import jax
+
+        path = os.environ.get(
+            "TEXT2PROTEIN_JAX_CACHE",
+            os.path.expanduser("~/.cache/text2protein_tpu/jax_cache"),
+        )
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - jax absent or too old
+        pass
+
+
+_enable_compilation_cache()

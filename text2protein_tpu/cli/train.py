@@ -72,6 +72,7 @@ def main(argv=None):
         create_train_state,
         make_train_step,
         make_eval_step,
+        make_multi_train_step,
     )
     from ..training.state import param_count
     from ..training.steps import shard_train_state
@@ -145,6 +146,28 @@ def main(argv=None):
         arrays["context_mask"] = jnp.asarray(emb_mask)
         return shard_batch(mesh, arrays)
 
+    def prepare_host(batch, rng_key):
+        """Host-side (numpy) variant for the fused multi-step path: K batches
+        are stacked and cross the link as ONE transfer."""
+        arrays = batch_to_device_arrays(batch, config, rng=rng_key,
+                                        device=False)
+        emb, emb_mask = encoder.encode(batch["caption"])
+        arrays["context"] = np.asarray(emb)
+        arrays["context_mask"] = np.asarray(emb_mask)
+        return arrays
+
+    def prepare_stacked(group, rng_keys):
+        hosts = [prepare_host(b, k) for b, k in zip(group, rng_keys)]
+        stacked = {
+            k: np.stack([h[k] for h in hosts]) for k in hosts[0]
+        }
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import put_array
+
+        sharding = NamedSharding(mesh, P(None, "data"))
+        return {k: put_array(v, sharding) for k, v in stacked.items()}
+
     first = next(batches(dataset, train_idx, bs, max_len, host_rng,
                          host_id=host_id, host_count=host_count))
     init_batch = prepare(first, jax.random.PRNGKey(0))
@@ -161,6 +184,15 @@ def main(argv=None):
 
     train_step = make_train_step(config, sde, model, mesh=mesh)
     eval_step = make_eval_step(config, sde, model, mesh=mesh)
+    # Fused multi-step launches (training.steps_per_launch > 1): K steps per
+    # device launch via one lax.scan — amortizes the tunnel's per-launch
+    # dispatch/sync latency (see training.steps.make_multi_train_step).
+    steps_per_launch = max(1, int(config.training.get("steps_per_launch", 1)))
+    multi_step = (
+        make_multi_train_step(config, sde, model, mesh=mesh)
+        if steps_per_launch > 1
+        else None
+    )
 
     writer = MetricsWriter(workdir / "tb")
     rng = jax.random.PRNGKey(config.seed + 1)
@@ -169,38 +201,60 @@ def main(argv=None):
     log_freq = config.training.log_freq
 
     step = int(state.step)
-    epoch = 0
     t_last = time.time()
+    steps_at_last_log = step
     snapshot_sampling_fn = None
     # step-based cadences (the reference checkpoints/evals every epoch, but
     # its epochs are ~90k records; with small corpora an epoch is seconds —
     # honor the config's step-frequency keys instead)
     meta_freq = max(1, int(config.training.snapshot_freq_for_preemption))
     eval_freq = max(1, int(config.training.eval_freq))
+    steps_per_epoch = max(1, len(train_idx) // max(bs, 1))
+    max_epoch_steps = int(config.training.epochs) * steps_per_epoch
     last_meta = step
-    last_eval = step - eval_freq  # eval on the first epoch boundary
-    while step < n_iters and epoch < config.training.epochs:
-        epoch += 1
-        # ---- train epoch
-        epoch_losses = []
-        for batch in batches(dataset, train_idx, bs, max_len, host_rng,
-                             host_id=host_id, host_count=host_count):
+    last_eval = step - eval_freq
+
+    def train_batches_forever():
+        while True:
+            yield from batches(dataset, train_idx, bs, max_len, host_rng,
+                               host_id=host_id, host_count=host_count)
+
+    stream = train_batches_forever()
+    window_losses = []  # since the last eval boundary
+
+    while step < n_iters and step < max_epoch_steps:
+        # ---- train: one device launch (1 or steps_per_launch steps)
+        if multi_step is None:
             rng, k_mask, k_step = jax.random.split(rng, 3)
-            dbatch = prepare(batch, k_mask)
+            dbatch = prepare(next(stream), k_mask)
             state, loss = train_step(state, dbatch, k_step)
-            step = int(state.step)
-            loss = float(loss)
-            epoch_losses.append(loss)
-            if step % log_freq == 0:
-                dt = time.time() - t_last
-                t_last = time.time()
-                writer.scalar("training_loss", loss, step)
-                print(f"step {step} loss {loss:.5f} "
-                      f"({log_freq * bs / max(dt, 1e-9):.1f} samples/s)")
-            if step >= n_iters:
-                break
-        avg_train = float(np.mean(epoch_losses)) if epoch_losses else np.inf
-        writer.scalar("avg_training_loss", avg_train, step)
+            new_losses = [float(loss)]
+        else:
+            k = min(steps_per_launch, max(1, n_iters - step))
+            group = [next(stream) for _ in range(k)]
+            rng, k_step = jax.random.split(rng)
+            rng, *k_masks = jax.random.split(rng, k + 1)
+            if k < steps_per_launch:  # tail: reuse the single-step path shape
+                for b, km in zip(group, k_masks):
+                    rng, k_step = jax.random.split(rng)
+                    state, loss = train_step(state, prepare(b, km), k_step)
+                new_losses = [float(loss)]
+            else:
+                dstacked = prepare_stacked(group, k_masks)
+                state, losses = multi_step(state, dstacked, k_step)
+                new_losses = [float(x) for x in np.asarray(losses)]
+        prev_step = step
+        step = int(state.step)
+        window_losses.extend(new_losses)
+
+        if step // log_freq > prev_step // log_freq:
+            dt = time.time() - t_last
+            t_last = time.time()
+            writer.scalar("training_loss", new_losses[-1], step)
+            rate = (step - steps_at_last_log) * bs / max(dt, 1e-9)
+            steps_at_last_log = step
+            print(f"step {step} loss {new_losses[-1]:.5f} "
+                  f"({rate:.1f} samples/s)")
 
         # ---- preemption checkpoint (`train.py:185`, cadence from
         # training.snapshot_freq_for_preemption)
@@ -208,15 +262,16 @@ def main(argv=None):
             ckpt.save_meta(state)
             last_meta = step
 
-        # ---- eval epoch (EMA-swapped). The reference's test loader samples
-        # WITH replacement (`train.py:66-72`), so batches are always full;
-        # same here when the eval split is smaller than one batch.
-        if step - last_eval < eval_freq and step < n_iters:
-            if avg_train < best_train:
-                best_train = avg_train
-                ckpt.save_best(state, "train")
+        # ---- eval (EMA-swapped) every eval_freq steps. The reference's test
+        # loader samples WITH replacement (`train.py:66-72`), so batches are
+        # always full; same here when the eval split is under one batch.
+        done = step >= n_iters or step >= max_epoch_steps
+        if step - last_eval < eval_freq and not done:
             continue
         last_eval = step
+        avg_train = float(np.mean(window_losses)) if window_losses else np.inf
+        window_losses = []
+        writer.scalar("avg_training_loss", avg_train, step)
         eval_indices = eval_idx
         if len(eval_indices) < bs:
             eval_indices = host_rng.choice(eval_idx, size=bs, replace=True)
@@ -231,6 +286,7 @@ def main(argv=None):
         avg_eval = float(np.mean(eval_losses)) if eval_losses else np.inf
         if np.isfinite(avg_eval):
             writer.scalar("avg_eval_loss", avg_eval, step)
+        epoch = step // steps_per_epoch
         print(f"epoch {epoch}: avg_train {avg_train:.5f} avg_eval {avg_eval:.5f}")
 
         # ---- snapshot sampling (`train.py:198-222`); the sampler is built

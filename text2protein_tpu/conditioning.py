@@ -170,19 +170,46 @@ def get_mask_all_lengths(config, batch_size=16):
     return jnp.asarray(masks)
 
 
-def batch_to_device_arrays(batch, config, rng=None):
+def batch_to_device_arrays(batch, config, rng=None, device=True):
     """Host batch (from data.make_batch) -> the array dict the loss consumes,
-    including NHWC transposition and inpainting masks."""
-    coords = jnp.asarray(batch["coords_6d"]).transpose(0, 2, 3, 1)  # -> NHWC
+    including NHWC transposition and inpainting masks. `device=False` keeps
+    the arrays on the host (numpy) so callers can stack several batches and
+    transfer once (cli/train.py fused multi-step launches).
+
+    With `data.featurize_on_device`, the (C, N, N) maps are NOT shipped;
+    instead the backbone coords + residue mask (and, for C=8, the SS block
+    channels as uint8) cross the link and the train/eval step rebuilds
+    coords_6d/mask_pair on device (data.featurize.featurize_batch_jax) —
+    ~100x less host->device traffic per step."""
+    as_array = jnp.asarray if device else np.asarray
+    if config.data.get("featurize_on_device", False):
+        mask_res = np.einsum("bii->bi", np.asarray(batch["mask_pair"]))
+        out = {
+            "bb": as_array(batch["coords"]),
+            "mask_res": as_array(mask_res.astype(bool)),
+            "ss_spans": as_array(batch["ss_spans"]),
+            "length": as_array(batch["length"]),
+        }
+        if int(config.data.num_channels) == 8:
+            ss = np.asarray(batch["coords_6d"][:, 4:7]).transpose(0, 2, 3, 1)
+            out["ss_block"] = as_array(ss.astype(np.uint8))
+        if "inpainting" in config.model.condition:
+            assert rng is not None
+            out["mask_inpaint"] = as_array(random_mask_batch(
+                rng, np.asarray(batch["length"]), config.data.max_res_num,
+                config,
+            ))
+        return out
+    coords = np.asarray(batch["coords_6d"]).transpose(0, 2, 3, 1)  # -> NHWC
     out = {
-        "coords_6d": coords,
-        "mask_pair": jnp.asarray(batch["mask_pair"]),
-        "ss_spans": jnp.asarray(batch["ss_spans"]),
-        "length": jnp.asarray(batch["length"]),
+        "coords_6d": as_array(coords),
+        "mask_pair": as_array(batch["mask_pair"]),
+        "ss_spans": as_array(batch["ss_spans"]),
+        "length": as_array(batch["length"]),
     }
     if "inpainting" in config.model.condition:
         assert rng is not None
-        out["mask_inpaint"] = random_mask_batch(
-            rng, out["length"], config.data.max_res_num, config
-        )
+        out["mask_inpaint"] = as_array(random_mask_batch(
+            rng, np.asarray(batch["length"]), config.data.max_res_num, config
+        ))
     return out

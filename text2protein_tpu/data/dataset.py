@@ -325,6 +325,7 @@ def make_batch(records: list[dict], max_len: int) -> dict:
     padded = PaddingCollate(max_len)(records)
     batch = {
         "id": [r["id"] for r in padded],
+        "coords": np.stack([r["coords"] for r in padded]).astype(np.float32),
         "coords_6d": np.stack([r["coords_6d"] for r in padded]).astype(np.float32),
         "mask_pair": np.stack([r["mask_pair"] for r in padded]).astype(bool),
         "aa": np.stack([r["aa"] for r in padded]).astype(np.int32),

@@ -23,6 +23,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 # Virtual-Cb reconstruction constants (ideal geometry), identical to
@@ -122,6 +123,42 @@ def get_coords6d_jax(xyz, dmax=DMAX_DEFAULT, normalize=True):
     `/root/reference/dataset.py:226`.
     """
     return _coords6d_dense(jnp, xyz, dmax, normalize)
+
+
+def featurize_batch_jax(bb, mask_res, num_channels, ss_block=None,
+                        dmax=DMAX_DEFAULT):
+    """Train-time on-device featurization: padded backbones -> NHWC maps.
+
+    The reference featurizes on the host and ships full (C, N, N) maps to the
+    device every step (`/root/reference/dataset.py:396-450` + collate). Over
+    a narrow host<->device link that transfer dominates the step; here the
+    host ships only (B, N, 3, 3) coordinates (~100x smaller) and the maps are
+    built inside the training-step jit.
+
+    Args:
+      bb:        (B, N, 3, 3) float N/CA/C coords, zero-padded past length.
+      mask_res:  (B, N) bool residue-validity mask.
+      num_channels: 5 or 8 (channel layout `/root/reference/dataset.py:225-239`).
+      ss_block:  (B, N, N, 3) SS block channels (any int/float dtype; uint8
+                 on the wire), required when num_channels == 8.
+    Returns:
+      (coords_6d (B, N, N, C) float32, mask_pair (B, N, N) bool) — identical
+      to the host `featurize_structure` output (NHWC, masked).
+    """
+    geo = jax.vmap(lambda x: get_coords6d_jax(x, dmax=dmax))(
+        bb.astype(jnp.float32)
+    )
+    mask_pair = mask_res[:, :, None] & mask_res[:, None, :]
+    mp = mask_pair[..., None]
+    # nan_to_num mirrors the host path (`/root/reference/dataset.py:226`);
+    # the where (not multiply) blocks NaN propagation from padded residues.
+    geo = jnp.where(mp, jnp.nan_to_num(geo), 0.0)
+    chans = [geo]
+    if num_channels == 8:
+        assert ss_block is not None, "C=8 layout needs SS block channels"
+        chans.append(jnp.where(mp, ss_block.astype(jnp.float32), 0.0))
+    chans.append(mp.astype(jnp.float32))
+    return jnp.concatenate(chans, axis=-1), mask_pair
 
 
 def featurize_structure(

@@ -6,10 +6,10 @@ einsum cross-attention (`/root/reference/model/attention.py:152-193`). Here a
 single entry point serves both:
 
   * on TPU, a Pallas flash-attention kernel (`flash.py`) — blockwise online
-    softmax, logits never hit HBM — wrapped in a custom VJP so the op is
-    trainable (forward = Pallas kernel; backward recomputes attention via the
-    XLA path and differentiates it — the standard fallback until a dedicated
-    backward kernel lands);
+    softmax, logits never hit HBM — wrapped in a custom VJP: the backward is
+    the dedicated Pallas dq/dk/dv kernel (recompute-from-logsumexp in VMEM);
+    shapes the backward kernel does not support fall back to recomputing
+    attention via the XLA path and differentiating it;
   * elsewhere (CPU tests) or for unsupported shapes, the XLA einsum path.
 
 Layout: q (B, H, Tq, D), k/v (B, H, Tk, D); optional kv_mask (B, Tk) bool.

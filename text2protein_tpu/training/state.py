@@ -51,8 +51,14 @@ def build_optimizer(config) -> optax.GradientTransformation:
 
 
 def create_train_state(config, model, rng, sample_batch) -> TrainState:
-    """Initialize params/opt/EMA from one example batch (NHWC arrays)."""
-    x = sample_batch["coords_6d"]
+    """Initialize params/opt/EMA from one example batch (NHWC arrays). Light
+    batches (data.featurize_on_device) carry no coords_6d; init shapes come
+    from the config instead."""
+    x = sample_batch.get("coords_6d")
+    if x is None:
+        b = sample_batch["length"].shape[0]
+        n = int(config.data.max_res_num)
+        x = jnp.zeros((b, n, n, int(config.data.num_channels)), jnp.float32)
     t = jnp.zeros((x.shape[0],), jnp.float32)
     ctx = sample_batch.get("context")
     ctx_mask = sample_batch.get("context_mask")

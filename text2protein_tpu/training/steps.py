@@ -17,6 +17,31 @@ from .state import TrainState, build_optimizer
 from ..parallel.mesh import batch_sharding, replicate_sharding, params_shardings
 
 
+def _featurizer(config):
+    """Identity, or the on-device light-batch -> full-batch transform
+    (data.featurize_on_device; see conditioning.batch_to_device_arrays)."""
+    if not config.data.get("featurize_on_device", False):
+        return lambda batch: batch
+
+    from ..data.featurize import featurize_batch_jax
+
+    num_channels = int(config.data.num_channels)
+
+    def featurize(batch):
+        if "coords_6d" in batch:  # already featurized (e.g. tests)
+            return batch
+        coords_6d, mask_pair = featurize_batch_jax(
+            batch["bb"], batch["mask_res"], num_channels,
+            ss_block=batch.get("ss_block"),
+        )
+        out = dict(batch)
+        out["coords_6d"] = coords_6d
+        out["mask_pair"] = mask_pair
+        return out
+
+    return featurize
+
+
 def make_train_step(config, sde, model, mesh=None, donate=True,
                     shard_grid=False):
     """Returns train_step(state, batch, rng) -> (state, loss). With
@@ -26,8 +51,10 @@ def make_train_step(config, sde, model, mesh=None, donate=True,
         sde, model, train=True, condition=tuple(config.model.condition)
     )
     tx = build_optimizer(config)
+    featurize = _featurizer(config)
 
     def step_fn(state: TrainState, batch, rng):
+        batch = featurize(batch)
         rng = jax.random.fold_in(rng, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
@@ -54,15 +81,67 @@ def make_train_step(config, sde, model, mesh=None, donate=True,
     )
 
 
+def make_multi_train_step(config, sde, model, mesh=None, donate=True):
+    """Returns multi_step(state, stacked_batches, rng) -> (state, losses).
+
+    `stacked_batches` holds K whole batches stacked on a leading axis
+    ((K, B, ...) leaves); the K train steps run as one `lax.scan` inside a
+    single device launch. Over a high-latency host<->device link (the axon
+    TPU tunnel) this amortizes per-launch dispatch + sync across K steps —
+    combined with `data.featurize_on_device` it turns a transfer-bound
+    training loop back into a compute-bound one. Semantics match calling
+    make_train_step's step K times with fresh per-step rngs (each step's key
+    is split from `rng` and folded with its own state.step).
+    """
+    loss_fn = get_sde_loss_fn(
+        sde, model, train=True, condition=tuple(config.model.condition)
+    )
+    tx = build_optimizer(config)
+    featurize = _featurizer(config)
+
+    def one_step(state: TrainState, batch_rng):
+        batch, rng = batch_rng
+        batch = featurize(batch)
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            ema=ema_update(state.ema, new_params),
+        )
+        return new_state, loss
+
+    def multi_step(state: TrainState, stacked, rng):
+        k = jax.tree.leaves(stacked)[0].shape[0]
+        rngs = jax.random.split(rng, k)
+        return jax.lax.scan(one_step, state, (stacked, rngs))
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(multi_step, donate_argnums=donate_argnums)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    stacked_sharding = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(
+        multi_step,
+        donate_argnums=donate_argnums,
+        in_shardings=(None, stacked_sharding, replicate_sharding(mesh)),
+    )
+
+
 def make_eval_step(config, sde, model, mesh=None):
     """Returns eval_step(state, batch, rng) -> loss, computed with EMA params
     (`/root/reference/score_sde_pytorch/losses.py:176-183`)."""
     loss_fn = get_sde_loss_fn(
         sde, model, train=False, condition=tuple(config.model.condition)
     )
+    featurize = _featurizer(config)
 
     def step_fn(state: TrainState, batch, rng):
-        return loss_fn(state.ema.params, batch, rng)
+        return loss_fn(state.ema.params, featurize(batch), rng)
 
     if mesh is None:
         return jax.jit(step_fn)
