@@ -157,3 +157,31 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 1
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_meta_overwrite_is_crash_safe(tmp_path):
+    """Re-saving meta must never pass through a state with no valid
+    `checkpoint` dir (a preemption mid-save would otherwise lose BOTH the old
+    and the new checkpoint), and stale staging dirs from a previous crash
+    must not break the next save."""
+    config = tiny_config()
+    sde, _ = get_sde(config)
+    model = build_model(config)
+    batch = tiny_batch(config)
+    state = create_train_state(config, model, jax.random.PRNGKey(0), batch)
+    train_step = make_train_step(config, sde, model, donate=False)
+
+    from text2protein_tpu.training import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path)
+    mgr.save_meta(state)
+    state, _ = train_step(state, batch, jax.random.PRNGKey(1))
+    # simulate a stale staging dir left by a crash mid-save
+    (mgr.meta_dir / "checkpoint.next").mkdir()
+    mgr.save_meta(state)
+    assert mgr.has_meta()
+    assert not (mgr.meta_dir / "checkpoint.next").exists()
+    assert not (mgr.meta_dir / "checkpoint.old").exists()
+    template = create_train_state(config, model, jax.random.PRNGKey(9), batch)
+    restored = mgr.restore_meta(template)
+    assert int(restored.step) == 1

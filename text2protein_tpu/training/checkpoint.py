@@ -36,7 +36,25 @@ class CheckpointManager:
 
     # -- preemption checkpoint ------------------------------------------------
     def save_meta(self, state: TrainState):
-        self._save(self.meta_dir / "checkpoint", state)
+        """Crash-safe: orbax's force-overwrite deletes the existing
+        checkpoint before writing, so a preemption DURING the save would lose
+        both the old and the new state. Write to a sibling dir, then swap —
+        a valid `checkpoint` dir exists at every instant."""
+        import shutil
+
+        target = self.meta_dir / "checkpoint"
+        staging = self.meta_dir / "checkpoint.next"
+        old = self.meta_dir / "checkpoint.old"
+        if staging.exists():
+            shutil.rmtree(staging)
+        self._save(staging, state)
+        if old.exists():
+            shutil.rmtree(old)
+        if target.exists():
+            target.rename(old)
+        staging.rename(target)
+        if old.exists():
+            shutil.rmtree(old)
 
     def has_meta(self) -> bool:
         return (self.meta_dir / "checkpoint").exists()
