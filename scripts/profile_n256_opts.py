@@ -93,8 +93,8 @@ def main():
             t0 = time.perf_counter()
             np.asarray(run(params)[0, 0, 0])
             times.append(time.perf_counter() - t0)
-        per_step = min(times) / args.steps
-        spm = b / (2 * 1000 * per_step) * 60  # samples/min at 1000 PC steps
+        per_step = min(times) / args.steps  # one PC step = 2 UNet evals
+        spm = b / (1000 * per_step) * 60  # samples/min at 1000 PC steps
         results[variant] = (per_step, spm)
         print(f"{variant:12s}: {per_step * 1e3:7.1f} ms/step  "
               f"-> {spm:.2f} samples/min at 1000 steps (B={b})")
