@@ -34,9 +34,10 @@ def main():
                    choices=["float32", "bfloat16"],
                    help="override model.norm_dtype")
     p.add_argument("--chunk", type=int, default=None,
-                   help="PC steps per device launch (default 1000, or 250 "
-                        "for N=256 — single launches must stay under the "
-                        "tunnel's wall-clock cap)")
+                   help="PC steps per device launch (default: largest "
+                        "divisor of --steps <= 1000, or <= 100 for N>=256 — "
+                        "single launches must stay under the tunnel's "
+                        "wall-clock cap)")
     args = p.parse_args()
 
     import jax
@@ -44,7 +45,7 @@ def main():
 
     from text2protein_tpu.config import load_config
     from text2protein_tpu.diffusion import get_sde
-    from text2protein_tpu.diffusion.sampling import get_pc_sampler
+    from text2protein_tpu.diffusion.sampling import get_pc_sampler, pick_chunk
     from text2protein_tpu.models import build_model
 
     if args.metric == "featurize":
@@ -106,8 +107,8 @@ def main():
         # single device executions are wall-clock-capped on the tunnel
         # platform; chunk long trajectories into multiple launches (the
         # N=256 model needs much smaller chunks than L=128)
-        chunk_size=args.chunk
-        or (100 if n >= 256 else (1000 if args.steps > 1000 else None)),
+        chunk_size=args.chunk or pick_chunk(args.steps, 100 if n >= 256
+                                            else 1000),
     )
 
     # compile + warm run (materialize on host: on the axon tunnel platform
@@ -196,8 +197,10 @@ def bench_train(args):
         })
         args.batch = min(args.batch, 2)
     else:
-        config = load_config("configs/bench_l128.yml")
+        config = load_config(args.config)
     config.model.dtype = args.dtype
+    if args.norm_dtype:
+        config.model.norm_dtype = args.norm_dtype
     b = args.batch
     n = config.data.max_res_num
     c = config.data.num_channels

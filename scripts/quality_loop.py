@@ -119,10 +119,12 @@ def main():
     params = state.ema.params
 
     # --- sample ---------------------------------------------------------------
+    from text2protein_tpu.diffusion.sampling import pick_chunk
+
     sampler = get_sampling_fn(
         config, sde, model, (bs, n, n, c), eps,
         num_steps=args.steps,
-        chunk_size=500 if args.steps >= 500 else None,
+        chunk_size=pick_chunk(args.steps, 500),
     )
     designs = []  # (record, sample_cnn)
     t0 = time.time()

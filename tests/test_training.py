@@ -185,3 +185,45 @@ def test_checkpoint_meta_overwrite_is_crash_safe(tmp_path):
     template = create_train_state(config, model, jax.random.PRNGKey(9), batch)
     restored = mgr.restore_meta(template)
     assert int(restored.step) == 1
+
+
+def test_checkpoint_meta_recovers_mid_swap_states(tmp_path):
+    """A crash between the two swap renames leaves `checkpoint.next` (newer,
+    fully written) and/or `checkpoint.old`; restore must find the newest
+    complete one instead of silently restarting from step 0."""
+    config = tiny_config()
+    sde, _ = get_sde(config)
+    model = build_model(config)
+    batch = tiny_batch(config)
+    state0 = create_train_state(config, model, jax.random.PRNGKey(0), batch)
+    train_step = make_train_step(config, sde, model, donate=False)
+    state1, _ = train_step(state0, batch, jax.random.PRNGKey(1))
+
+    from text2protein_tpu.training import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path)
+    template = create_train_state(config, model, jax.random.PRNGKey(9), batch)
+
+    # crash after _save(staging), before any rename: checkpoint(old step) +
+    # checkpoint.next(new step) -> restore the newer .next
+    mgr._save(mgr.meta_dir / "checkpoint", state0)
+    mgr._save(mgr.meta_dir / "checkpoint.next", state1)
+    assert mgr.has_meta()
+    assert int(mgr.restore_meta(template).step) == 1
+
+    # crash between target.rename(old) and staging.rename(target):
+    # only checkpoint.old + checkpoint.next remain
+    import shutil
+
+    (mgr.meta_dir / "checkpoint").rename(mgr.meta_dir / "checkpoint.old")
+    assert mgr.has_meta()
+    assert int(mgr.restore_meta(template).step) == 1
+    shutil.rmtree(mgr.meta_dir / "checkpoint.next")
+
+    # only checkpoint.old left
+    assert mgr.has_meta()
+    assert int(mgr.restore_meta(template).step) == 0
+
+    # a later successful save supersedes all survivors
+    mgr.save_meta(state1)
+    assert int(mgr.restore_meta(template).step) == 1

@@ -158,6 +158,17 @@ def main(argv=None):
 
     def prepare_stacked(group, rng_keys):
         hosts = [prepare_host(b, k) for b, k in zip(group, rng_keys)]
+        # caption token counts land in per-batch buckets (text encoders pad
+        # to the batch max's bucket); pad every batch in the group to the
+        # group's widest bucket so the K batches stack
+        t_max = max(h["context"].shape[1] for h in hosts)
+        for h in hosts:
+            t = h["context"].shape[1]
+            if t < t_max:
+                h["context"] = np.pad(h["context"],
+                                      ((0, 0), (0, t_max - t), (0, 0)))
+                h["context_mask"] = np.pad(h["context_mask"],
+                                           ((0, 0), (0, t_max - t)))
         stacked = {
             k: np.stack([h[k] for h in hosts]) for k in hosts[0]
         }
@@ -209,8 +220,11 @@ def main(argv=None):
     # honor the config's step-frequency keys instead)
     meta_freq = max(1, int(config.training.snapshot_freq_for_preemption))
     eval_freq = max(1, int(config.training.eval_freq))
-    steps_per_epoch = max(1, len(train_idx) // max(bs, 1))
+    # per-host steps in one true data pass: each host loads its shard of the
+    # index space, so the denominator scales with host_count
+    steps_per_epoch = max(1, len(train_idx) // max(bs * host_count, 1))
     max_epoch_steps = int(config.training.epochs) * steps_per_epoch
+    step_budget = min(n_iters, max_epoch_steps)
     last_meta = step
     last_eval = step - eval_freq
 
@@ -222,7 +236,7 @@ def main(argv=None):
     stream = train_batches_forever()
     window_losses = []  # since the last eval boundary
 
-    while step < n_iters and step < max_epoch_steps:
+    while step < step_budget:
         # ---- train: one device launch (1 or steps_per_launch steps)
         if multi_step is None:
             rng, k_mask, k_step = jax.random.split(rng, 3)
@@ -230,15 +244,16 @@ def main(argv=None):
             state, loss = train_step(state, dbatch, k_step)
             new_losses = [float(loss)]
         else:
-            k = min(steps_per_launch, max(1, n_iters - step))
+            k = min(steps_per_launch, max(1, step_budget - step))
             group = [next(stream) for _ in range(k)]
             rng, k_step = jax.random.split(rng)
             rng, *k_masks = jax.random.split(rng, k + 1)
             if k < steps_per_launch:  # tail: reuse the single-step path shape
+                new_losses = []
                 for b, km in zip(group, k_masks):
                     rng, k_step = jax.random.split(rng)
                     state, loss = train_step(state, prepare(b, km), k_step)
-                new_losses = [float(loss)]
+                    new_losses.append(float(loss))
             else:
                 dstacked = prepare_stacked(group, k_masks)
                 state, losses = multi_step(state, dstacked, k_step)
@@ -258,14 +273,14 @@ def main(argv=None):
 
         # ---- preemption checkpoint (`train.py:185`, cadence from
         # training.snapshot_freq_for_preemption)
-        if step - last_meta >= meta_freq or step >= n_iters:
+        if step - last_meta >= meta_freq or step >= step_budget:
             ckpt.save_meta(state)
             last_meta = step
 
         # ---- eval (EMA-swapped) every eval_freq steps. The reference's test
         # loader samples WITH replacement (`train.py:66-72`), so batches are
         # always full; same here when the eval split is under one batch.
-        done = step >= n_iters or step >= max_epoch_steps
+        done = step >= step_budget
         if step - last_eval < eval_freq and not done:
             continue
         last_eval = step

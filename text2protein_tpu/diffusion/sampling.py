@@ -173,6 +173,18 @@ def apply_condition(x, condition):
     return x, cmask
 
 
+def pick_chunk(num_steps: int, target: int):
+    """Largest divisor of `num_steps` that is <= `target` (None when a single
+    launch suffices). Keeps chunked launches under the platform's per-launch
+    wall-clock cap without tripping the N % chunk_size == 0 requirement."""
+    if num_steps <= target:
+        return None
+    for d in range(target, 0, -1):
+        if num_steps % d == 0:
+            return d
+    return None
+
+
 def get_pc_sampler(
     sde,
     model,

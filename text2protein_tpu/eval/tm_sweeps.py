@@ -45,7 +45,7 @@ def train_gen_tm_compare(designed_paths, train_pdb_paths, out_path="tm-scores.js
             if not vals:
                 continue
             scores.extend(vals)
-            samples[f"sampled_{target.parent.parent.name}"] = {
+            samples[f"sampled_{target.stem}"] = {
                 "sample_min": float(min(vals)),
                 "sample_max": float(max(vals)),
                 "sample_avg": float(np.mean(vals)),

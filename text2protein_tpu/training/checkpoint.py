@@ -38,8 +38,10 @@ class CheckpointManager:
     def save_meta(self, state: TrainState):
         """Crash-safe: orbax's force-overwrite deletes the existing
         checkpoint before writing, so a preemption DURING the save would lose
-        both the old and the new state. Write to a sibling dir, then swap —
-        a valid `checkpoint` dir exists at every instant."""
+        both the old and the new state. Write to a sibling dir, then swap.
+        A crash anywhere leaves at least one COMPLETE checkpoint dir (orbax
+        itself writes via tmp+rename, so `checkpoint.next` only exists once
+        fully written); `_meta_path` resolves checkpoint > next > old."""
         import shutil
 
         target = self.meta_dir / "checkpoint"
@@ -56,11 +58,23 @@ class CheckpointManager:
         if old.exists():
             shutil.rmtree(old)
 
+    def _meta_path(self):
+        """Newest complete preemption checkpoint. `checkpoint.next` only
+        exists when a save fully finished but the swap was interrupted — it
+        is then strictly newer than `checkpoint` (every save clears stale
+        staging first), so it wins; `checkpoint.old` is the mid-swap
+        survivor."""
+        for name in ("checkpoint.next", "checkpoint", "checkpoint.old"):
+            p = self.meta_dir / name
+            if p.exists():
+                return p
+        return None
+
     def has_meta(self) -> bool:
-        return (self.meta_dir / "checkpoint").exists()
+        return self._meta_path() is not None
 
     def restore_meta(self, template: TrainState) -> TrainState:
-        return self._restore(self.meta_dir / "checkpoint", template)
+        return self._restore(self._meta_path(), template)
 
     # -- best checkpoints ------------------------------------------------------
     def save_best(self, state: TrainState, kind: str):
@@ -77,8 +91,8 @@ class CheckpointManager:
         for cand in (
             self.best_dir / "best_eval",
             self.best_dir / "best_train",
-            self.meta_dir / "checkpoint",
+            self._meta_path(),
         ):
-            if cand.exists():
+            if cand is not None and cand.exists():
                 return self._restore(cand, template)
         raise FileNotFoundError(f"no checkpoint under {self.workdir}")

@@ -42,11 +42,10 @@ def _featurizer(config):
     return featurize
 
 
-def make_train_step(config, sde, model, mesh=None, donate=True,
-                    shard_grid=False):
-    """Returns train_step(state, batch, rng) -> (state, loss). With
-    `shard_grid`, the (B, N, N, *) arrays additionally shard their row axis
-    over the mesh 'model' axis (sequence parallel)."""
+def _make_one_step(config, sde, model):
+    """The single training step (featurize -> loss/grad -> optimizer -> EMA),
+    shared by the single-step and fused multi-step builders so their
+    semantics cannot diverge."""
     loss_fn = get_sde_loss_fn(
         sde, model, train=True, condition=tuple(config.model.condition)
     )
@@ -66,6 +65,16 @@ def make_train_step(config, sde, model, mesh=None, donate=True,
             ema=ema_update(state.ema, new_params),
         )
         return new_state, loss
+
+    return step_fn
+
+
+def make_train_step(config, sde, model, mesh=None, donate=True,
+                    shard_grid=False):
+    """Returns train_step(state, batch, rng) -> (state, loss). With
+    `shard_grid`, the (B, N, N, *) arrays additionally shard their row axis
+    over the mesh 'model' axis (sequence parallel)."""
+    step_fn = _make_one_step(config, sde, model)
 
     donate_argnums = (0,) if donate else ()
     if mesh is None:
@@ -93,26 +102,11 @@ def make_multi_train_step(config, sde, model, mesh=None, donate=True):
     make_train_step's step K times with fresh per-step rngs (each step's key
     is split from `rng` and folded with its own state.step).
     """
-    loss_fn = get_sde_loss_fn(
-        sde, model, train=True, condition=tuple(config.model.condition)
-    )
-    tx = build_optimizer(config)
-    featurize = _featurizer(config)
+    step_fn = _make_one_step(config, sde, model)
 
     def one_step(state: TrainState, batch_rng):
         batch, rng = batch_rng
-        batch = featurize(batch)
-        rng = jax.random.fold_in(rng, state.step)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        new_state = TrainState(
-            step=state.step + 1,
-            params=new_params,
-            opt_state=new_opt_state,
-            ema=ema_update(state.ema, new_params),
-        )
-        return new_state, loss
+        return step_fn(state, batch, rng)
 
     def multi_step(state: TrainState, stacked, rng):
         k = jax.tree.leaves(stacked)[0].shape[0]
