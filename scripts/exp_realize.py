@@ -4,8 +4,8 @@ Builds a compact helix bundle at L, featurizes it, and minimizes against its
 own maps under a configurable protocol; reports per-restart TM and energy.
 Runs on whatever device is live (TPU by default under axon).
 
-Usage: python scripts/exp_realize.py [--L 64] [--iters 300] [--reps 2]
-       [--restarts 5] [--seed 0] [--rama W] [--hb W] [--free-omega]
+Usage: python scripts/exp_realize.py [--L 64] [--iters 150] [--restarts 5]
+       [--seed 0] [--method cartesian|torsion] [--cpu]
 """
 
 import argparse

@@ -38,7 +38,10 @@ def main():
 
     from text2protein_tpu.data.dataset import save_record
     from text2protein_tpu.data.featurize import featurize_structure
-    from text2protein_tpu.data.synthetic import helix_bundle_backbones
+    from text2protein_tpu.data.synthetic import (
+        default_n_helices,
+        helix_bundle_backbones,
+    )
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -61,7 +64,7 @@ def main():
             )
             if c6d is None:
                 continue
-            n_hel = max(2, min(6, round(L / 22)))
+            n_hel = default_n_helices(L)
             record = {
                 "id": f"synth_{L:03d}_{j:04d}",
                 "coords": bb.astype(np.float32),

@@ -27,9 +27,7 @@ def _free_port():
     return port
 
 
-@pytest.mark.slow
-def test_two_process_train_step():
-    port = _free_port()
+def _run_workers(port):
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), str(pid), "2", str(port)],
@@ -37,7 +35,7 @@ def test_two_process_train_step():
         )
         for pid in range(2)
     ]
-    outs = []
+    results = []
     for p in procs:
         try:
             out, err = p.communicate(timeout=600)
@@ -45,7 +43,20 @@ def test_two_process_train_step():
             for q in procs:
                 q.kill()
             raise
-        assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
+        results.append((p.returncode, out, err))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_train_step():
+    results = _run_workers(_free_port())
+    if any(rc != 0 and "DEADLINE_EXCEEDED" in err for rc, _, err in results):
+        # gloo's cross-process rendezvous has a fixed 30 s deadline that a
+        # heavily loaded single-core host can blow through — retry once
+        results = _run_workers(_free_port())
+    outs = []
+    for rc, out, err in results:
+        assert rc == 0, f"worker failed:\n{err[-2000:]}"
         outs.append(out)
 
     losses = []

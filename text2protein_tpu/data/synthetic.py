@@ -27,6 +27,13 @@ _TURNS = np.array(
 )
 
 
+def default_n_helices(L: int) -> int:
+    """Length-scaled helix count used by `helix_bundle_torsions` — exported
+    so captions about the generated geometry stay in sync with it
+    (scripts/make_synth_dataset.py)."""
+    return max(2, min(6, round(L / 22)))
+
+
 def helix_bundle_torsions(L: int, seed: int = 0, n_helices: int | None = None,
                           jitter_deg: float = 3.0):
     """(phi, psi) in radians for a compact L-residue helix bundle.
@@ -41,7 +48,7 @@ def helix_bundle_torsions(L: int, seed: int = 0, n_helices: int | None = None,
         # like natural helical proteins); elongated 3-helix bundles at L>90
         # have so few inter-helix contacts that their 6D maps genuinely
         # under-determine the fold
-        n_helices = max(2, min(6, round(L / 22)))
+        n_helices = default_n_helices(L)
     n_turn = 4
     seg = (L - (n_helices - 1) * n_turn) // n_helices
     phi, psi = [], []
@@ -132,7 +139,9 @@ def helix_bundle_backbone(L: int, seed: int = 0, n_candidates: int = 12,
         ca = bb[:, 1]
         d = np.linalg.norm(ca[:, None] - ca[None, :], axis=-1)
         sep = np.abs(np.arange(L)[:, None] - np.arange(L)[None, :])
-        clashes = int((d[sep >= 3] < 3.6).sum())
+        # halved like the batched path (each clash appears twice in the
+        # symmetric matrix) so both APIs pick the same candidate per seed
+        clashes = int((d[sep >= 3] < 3.6).sum()) // 2
         rg = float(np.sqrt(((ca - ca.mean(0)) ** 2).sum(1).mean()))
         contact = float(((d < 12) & (sep >= 8)).mean())
         score = rg - 60.0 * contact + 100.0 * clashes

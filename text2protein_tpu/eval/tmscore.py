@@ -152,6 +152,12 @@ def _initial_alignments(x, y):
             n = min(f, l1 - a1, l2 - a2)
             if n >= 5:
                 cands.append(list(zip(range(a1, a1 + n), range(a2, a2 + n))))
+    if not cands:
+        # chains shorter than the 5-residue seed minimum: central gapless
+        # thread so tiny fragments still score (>= 3 points for Kabsch)
+        n = min(l1, l2)
+        if n >= 3:
+            cands.append(list(zip(range(n), range(n))))
     return cands
 
 

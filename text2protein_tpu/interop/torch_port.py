@@ -246,4 +246,15 @@ def flax_params_from_torch_state(
                 "shape mismatches: "
                 + ", ".join(f"{k}: {p_leaves[k]} != {t_leaves[k]}" for k in bad[:8])
             )
+
+    # Non-parameter buffers the reference registers (the sigma ladder is
+    # config-derived, rebuilt on the flax side) are expected to be unused.
+    unused = sorted(
+        k for k in set(state_dict) - used_keys if not k.endswith("sigmas")
+    )
+    if unused:
+        # architecture drift in the torch checkpoint (extra/renamed modules)
+        # must not be silently ignored — the port would be numerically wrong
+        raise ValueError(f"torch state dict keys not consumed by the "
+                         f"mapping: {unused[:8]}{'...' if len(unused) > 8 else ''}")
     return params

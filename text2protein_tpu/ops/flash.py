@@ -178,11 +178,14 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, mask_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
     ) * scale                      # (tq, tk)
-    p = jnp.exp(s - lse)
     if masked:
+        # bias BEFORE exp, like the forward kernel: a padded key whose raw
+        # logit exceeds the (mask-aware) logsumexp would overflow exp(s-lse)
+        # to inf, and inf * 0 = NaN would poison every gradient
         b_idx = pl.program_id(0) // h
         mb = mask_ref[b_idx].astype(f32)   # (tk,)
-        p = p * mb[None, :]
+        s = s + (mb[None, :] - 1.0) * 1e30
+    p = jnp.exp(s - lse)
     # dV = P^T dO
     dv_ref[0] = jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=f32

@@ -196,6 +196,26 @@ def _cartesian_refine(bb0, rst: Restraints, max_iter: int):
     return bb, e_sel
 
 
+def _restart_starts(dist_abs: np.ndarray, L: int, n_restarts: int,
+                    seed: int) -> np.ndarray:
+    """(R, L, 3, 3) restart backbones: [MDS trace, its mirror] + the MDS
+    trace perturbed (+-2 A Gaussian on the CAs) in alternating hands — far
+    better-converging than random coils, still diverse. Shared by the
+    single-design and batched realization paths."""
+    ca = dist_geometry_init(dist_abs)
+    mirror = ca * np.array([1.0, 1.0, -1.0], np.float32)
+    starts = [ca_trace_to_backbone(ca), ca_trace_to_backbone(mirror)]
+    rng = np.random.RandomState(seed)
+    for k in range(max(n_restarts - 2, 0)):
+        base = ca if k % 2 else mirror
+        starts.append(
+            ca_trace_to_backbone(
+                base + rng.randn(L, 3).astype(np.float32) * 2.0
+            )
+        )
+    return np.stack(starts)
+
+
 def minimize_cartesian(key, rst: Restraints, dist_abs: np.ndarray, L: int,
                        n_restarts: int = 5, max_iter: int = 300):
     """Distance-geometry + Cartesian protocol (see module docstring).
@@ -204,22 +224,8 @@ def minimize_cartesian(key, rst: Restraints, dist_abs: np.ndarray, L: int,
     chains, minimized as one vmapped batch; lowest selection energy wins.
     Returns (bb (L, 3, 3), best_energy, all_energies).
     """
-    ca = dist_geometry_init(dist_abs)
-    mirror = ca * np.array([1.0, 1.0, -1.0], np.float32)
-    starts = [ca_trace_to_backbone(ca), ca_trace_to_backbone(mirror)]
-    # extra restarts: the MDS trace perturbed (+-2 A Gaussian on the CAs) in
-    # both hands — far better-converging than random coils, still diverse
-    rng = np.random.RandomState(
-        int(jax.random.randint(key, (), 0, 2**31 - 1))
-    )
-    for k in range(max(n_restarts - 2, 0)):
-        base = ca if k % 2 else mirror
-        starts.append(
-            ca_trace_to_backbone(
-                base + rng.randn(L, 3).astype(np.float32) * 2.0
-            )
-        )
-    bb0 = jnp.asarray(np.stack(starts))
+    seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+    bb0 = jnp.asarray(_restart_starts(dist_abs, L, n_restarts, seed))
 
     @functools.partial(jax.jit, static_argnames=("max_iter",))
     def run(bb0, rst, max_iter):
@@ -444,23 +450,14 @@ def realize_batch(samples_cnn, n_restarts: int = 5, max_iter: int = 300,
     msk0 = np.round(samples_cnn[0, -1])
     L = int(round(np.sqrt((msk0 == 1).sum())))
     rsts, starts = [], []
-    key = jax.random.PRNGKey(seed)
     for s in samples_cnn:
         npz = inverse_scale(s, L)
         rsts.append(restraints_from_maps(npz, dist_std=dist_std,
                                          angle_std=angle_std))
-        ca = dist_geometry_init(npz["dist_abs"])
-        mirror = ca * np.array([1.0, 1.0, -1.0], np.float32)
-        st = [ca_trace_to_backbone(ca), ca_trace_to_backbone(mirror)]
-        rng = np.random.RandomState(seed + 31 * len(starts))
-        for k in range(max(n_restarts - 2, 0)):
-            base = ca if k % 2 else mirror
-            st.append(
-                ca_trace_to_backbone(
-                    base + rng.randn(L, 3).astype(np.float32) * 2.0
-                )
-            )
-        starts.append(np.stack(st))
+        starts.append(
+            _restart_starts(npz["dist_abs"], L, n_restarts,
+                            seed + 31 * len(starts))
+        )
     rst_batched = jax.tree.map(lambda *xs: jnp.stack(xs), *rsts)
     bb0 = jnp.asarray(np.stack(starts))  # (D, R, L, 3, 3)
 
