@@ -50,9 +50,13 @@ def _run_workers(port):
 @pytest.mark.slow
 def test_two_process_train_step():
     results = _run_workers(_free_port())
-    if any(rc != 0 and "DEADLINE_EXCEEDED" in err for rc, _, err in results):
-        # gloo's cross-process rendezvous has a fixed 30 s deadline that a
-        # heavily loaded single-core host can blow through — retry once
+    for _ in range(3):
+        if not any(rc != 0 and "DEADLINE_EXCEEDED" in err
+                   for rc, _, err in results):
+            break
+        # gloo's cross-process rendezvous has a fixed 30 s deadline that two
+        # compile-heavy workers on one shared CPU core can blow through —
+        # retry (the persistent compile cache makes reruns much faster)
         results = _run_workers(_free_port())
     outs = []
     for rc, out, err in results:
