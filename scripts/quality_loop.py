@@ -43,6 +43,9 @@ def main():
     p.add_argument("--max_train_refs", type=int, default=32,
                    help="novelty sweep reference-set size")
     p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--sampler", type=str, default="pc", choices=["pc", "ode"],
+                   help="pc = reference predictor-corrector chain; ode = "
+                        "Heun probability-flow (few-NFE deployment path)")
     p.add_argument("--out", type=str, default="reports/quality_10k.json")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
@@ -121,6 +124,8 @@ def main():
     # --- sample ---------------------------------------------------------------
     from text2protein_tpu.diffusion.sampling import pick_chunk
 
+    if args.sampler == "ode":
+        config.sampling.method = "ode"
     sampler = get_sampling_fn(
         config, sde, model, (bs, n, n, c), eps,
         num_steps=args.steps,

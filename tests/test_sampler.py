@@ -205,3 +205,17 @@ def test_ode_sampler_conditioning_clamp():
     out = np.asarray(out)
     np.testing.assert_array_equal(out[..., -1], v.astype(np.float32))
     assert np.all(out[~v] == 0.0)
+
+
+def test_pick_chunk_divides_steps():
+    from text2protein_tpu.diffusion.sampling import pick_chunk
+
+    assert pick_chunk(1000, 1000) is None          # single launch fits
+    assert pick_chunk(2000, 1000) == 1000
+    assert pick_chunk(1000, 100) == 100
+    assert pick_chunk(250, 100) == 50              # largest divisor <= target
+    assert pick_chunk(1500, 1000) == 750
+    for steps in (600, 750, 1200, 1999):
+        c = pick_chunk(steps, 500)
+        if c is not None:
+            assert steps % c == 0 and c <= 500
