@@ -1,0 +1,135 @@
+"""Sequence-design recovery benchmark (VERDICT r2 #2).
+
+Measures `realize/design.py` (the in-repo FastDesign role) as native-sequence
+recovery on ground-truth backbones. Because no real PDB corpus ships in this
+zero-egress environment, "native" sequences come from the independent
+synthetic-native generator (`data/synthetic_seq.py` — composition statistics
+per SS x burial class, temperature-sharpened; the designer uses biophysical
+scales and never reads those tables). Reported alongside:
+
+  * random baseline (uniform over 20 AAs = 5%),
+  * composition baseline (always the globally most common AA),
+  * the Bayes ceiling (always each position's class-modal AA — the best any
+    designer could do against this stochastic native).
+
+Usage:
+  python scripts/eval_design.py [--n 32] [--lengths 64,96,128]
+      [--temperature 0.6] [--out reports/design_recovery.json]
+"""
+
+import argparse
+import json
+import sys
+import time
+from collections import Counter
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=32, help="backbones per length")
+    p.add_argument("--lengths", type=str, default="64,96,128")
+    p.add_argument("--temperature", type=float, default=0.6)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--processed", type=str, default=None,
+                   help="use GT backbones from this processed-records dir "
+                        "instead of generating fresh ones")
+    p.add_argument("--out", type=str, default="reports/design_recovery.json")
+    args = p.parse_args()
+
+    from text2protein_tpu.data.synthetic_seq import native_like_sequence
+    from text2protein_tpu.realize.design import AA20, design_sequence
+
+    lengths = [int(x) for x in args.lengths.split(",")]
+
+    # ---- collect backbones -------------------------------------------------
+    backbones = []
+    if args.processed:
+        from text2protein_tpu.data import ProteinProcessedDataset, load_record
+
+        processed = Path(args.processed)
+        ds = ProteinProcessedDataset(str(processed))
+        rng = np.random.RandomState(args.seed)
+        paths = list(ds.data_paths)
+        rng.shuffle(paths)
+        for path in paths[: args.n * len(lengths)]:
+            rec = load_record(processed / path)
+            backbones.append(np.asarray(rec["coords"], np.float32))
+    else:
+        from text2protein_tpu.data.synthetic import helix_bundle_backbones
+
+        for L in lengths:
+            seeds = [args.seed + 555_000 + 91 * j for j in range(args.n)]
+            t0 = time.time()
+            bbs = helix_bundle_backbones(L, seeds)
+            print(f"L={L}: built {args.n} GT backbones "
+                  f"({time.time() - t0:.0f}s)")
+            backbones.extend(np.asarray(b) for b in bbs)
+
+    # ---- design + score ----------------------------------------------------
+    rec_design, rec_bayes, rec_comp = [], [], []
+    confusion = Counter()
+    t0 = time.time()
+    for k, bb in enumerate(backbones):
+        native, classes, _ = native_like_sequence(
+            bb, seed=args.seed + 17 * k, temperature=args.temperature
+        )
+        designed, _ = design_sequence(bb, seed=args.seed + 17 * k)
+
+        # Bayes ceiling: the class-modal AA at each position
+        from text2protein_tpu.data.synthetic_seq import _table
+
+        tables = _table(args.temperature)
+        bayes = "".join(
+            AA20[int(np.argmax(tables[c]))] for c in classes
+        )
+        comp = "L" * len(bb)  # globally most common AA
+
+        n = np.frombuffer(native.encode(), np.uint8)
+        d = np.frombuffer(designed.encode(), np.uint8)
+        b = np.frombuffer(bayes.encode(), np.uint8)
+        c_ = np.frombuffer(comp.encode(), np.uint8)
+        rec_design.append(float((n == d).mean()))
+        rec_bayes.append(float((n == b).mean()))
+        rec_comp.append(float((n == c_).mean()))
+        for a_nat, a_des in zip(native, designed):
+            confusion[(a_nat, a_des)] += 1
+        if (k + 1) % 16 == 0:
+            print(f"  {k + 1}/{len(backbones)} designed "
+                  f"(recovery so far {np.mean(rec_design):.3f}, "
+                  f"{time.time() - t0:.0f}s)")
+
+    top_conf = sorted(confusion.items(), key=lambda kv: -kv[1])[:25]
+    report = {
+        "n_backbones": len(backbones),
+        "lengths": lengths,
+        "native_temperature": args.temperature,
+        "recovery_designed": round(float(np.mean(rec_design)), 4),
+        "recovery_designed_std": round(float(np.std(rec_design)), 4),
+        "recovery_bayes_ceiling": round(float(np.mean(rec_bayes)), 4),
+        "recovery_composition_baseline": round(float(np.mean(rec_comp)), 4),
+        "recovery_random_baseline": 0.05,
+        "top_native_to_designed": [
+            {"native": a, "designed": b, "count": c} for (a, b), c in top_conf
+        ],
+        "note": (
+            "native sequences are synthetic (data/synthetic_seq.py): no real "
+            "PDB corpus ships in this zero-egress environment; generator and "
+            "designer use independently-sourced tables (composition stats vs "
+            "biophysical scales)"
+        ),
+    }
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({k: v for k, v in report.items()
+                      if k != "top_native_to_designed"}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

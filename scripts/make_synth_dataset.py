@@ -34,6 +34,11 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ss_constraints", action="store_true",
                    help="C=8 records with SS block channels")
+    p.add_argument("--decorrelate_helices", action="store_true",
+                   help="sample the helix count per record independently of "
+                        "L (valid_helix_counts) so the caption's helix count "
+                        "carries information length alone cannot — the "
+                        "text-conditioning corpus (VERDICT r2 #1)")
     args = p.parse_args()
 
     from text2protein_tpu.data.dataset import save_record
@@ -41,6 +46,7 @@ def main():
     from text2protein_tpu.data.synthetic import (
         default_n_helices,
         helix_bundle_backbones,
+        valid_helix_counts,
     )
 
     out = Path(args.out)
@@ -55,16 +61,24 @@ def main():
         if n_here <= 0:
             break
         seeds = [args.seed + 100_000 * li + 77 * j for j in range(n_here)]
+        if args.decorrelate_helices:
+            choices = valid_helix_counts(L)
+            rng = np.random.RandomState(args.seed + 13 * li)
+            n_hels = [int(choices[rng.randint(len(choices))])
+                      for _ in range(n_here)]
+        else:
+            n_hels = [default_n_helices(L)] * n_here
         t1 = time.time()
-        bbs = helix_bundle_backbones(L, seeds)
-        print(f"L={L}: built {n_here} backbones in {time.time() - t1:.1f}s")
+        bbs = helix_bundle_backbones(L, seeds, n_helices=n_hels)
+        print(f"L={L}: built {n_here} backbones in {time.time() - t1:.1f}s "
+              f"(helix counts {sorted(set(n_hels))})")
         for j, bb in enumerate(bbs):
             c6d, mask_pair, ss_indices = featurize_structure(
                 bb, np.ones(L), ss_constraints=args.ss_constraints
             )
             if c6d is None:
                 continue
-            n_hel = default_n_helices(L)
+            n_hel = n_hels[j]
             record = {
                 "id": f"synth_{L:03d}_{j:04d}",
                 "coords": bb.astype(np.float32),

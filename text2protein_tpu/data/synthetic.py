@@ -34,6 +34,20 @@ def default_n_helices(L: int) -> int:
     return max(2, min(6, round(L / 22)))
 
 
+def valid_helix_counts(L: int) -> list[int]:
+    """Helix counts buildable at length L with sane segment lengths.
+
+    Bounds keep each helix segment between ~12 and ~40 residues (natural
+    bundle range), so at a fixed L several counts are valid — the lever that
+    DECORRELATES the caption's helix count from chain length for the
+    text-conditioning proof (VERDICT r2 #1: round-2 captions had
+    helix count = f(L), so nothing could tell whether the model read them).
+    """
+    n_min = max(2, -(-(L + 4) // 44))   # segment <= 40
+    n_max = min(6, (L + 4) // 16)       # segment >= 12
+    return list(range(n_min, max(n_min, n_max) + 1))
+
+
 def helix_bundle_torsions(L: int, seed: int = 0, n_helices: int | None = None,
                           jitter_deg: float = 3.0):
     """(phi, psi) in radians for a compact L-residue helix bundle.
@@ -156,24 +170,32 @@ def helix_bundle_backbone(L: int, seed: int = 0, n_candidates: int = 12,
 
 def helix_bundle_backbones(L: int, seeds, n_candidates: int = 12,
                            compact: bool | None = None,
-                           compact_iters: int = 300):
+                           compact_iters: int = 300, n_helices=None):
     """Batched (len(seeds), L, 3, 3) helix-bundle backbones of equal length.
 
     Same selection + compaction as `helix_bundle_backbone`, but the NeRF
     build and the Rg-guided compaction are vmapped across all seeds and run
     as ONE device program — the corpus-generation path for the quality
     training runs (a single structure takes ~43 s on this host's one CPU
-    core; a 48-structure batch takes seconds on the TPU)."""
+    core; a 48-structure batch takes seconds on the TPU).
+
+    `n_helices`: None (length-scaled default), an int, or a per-seed list —
+    the per-seed form lets one device batch mix helix counts at equal L
+    (the decorrelated text-conditioning corpus)."""
     import jax
     import jax.numpy as jnp
 
     from ..realize.geometry import build_backbone
 
     seeds = list(seeds)
+    if n_helices is None or isinstance(n_helices, int):
+        n_helices = [n_helices] * len(seeds)
+    assert len(n_helices) == len(seeds)
     phis, psis = [], []
-    for s in seeds:
+    for s, nh in zip(seeds, n_helices):
         for k in range(n_candidates):
-            phi, psi = helix_bundle_torsions(L, seed=s + 1000 * k)
+            phi, psi = helix_bundle_torsions(L, seed=s + 1000 * k,
+                                             n_helices=nh)
             phis.append(phi)
             psis.append(psi)
     build = jax.jit(jax.vmap(build_backbone))
