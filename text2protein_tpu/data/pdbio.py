@@ -100,6 +100,8 @@ def read_pdb(path) -> Structure:
                 continue
             if rec not in ("ATOM  ", "HETATM"):
                 continue
+            if len(line) < 54:  # truncated record: coords can't be complete
+                continue
             altloc = line[16]
             if altloc not in (" ", "A"):  # keep first altloc only
                 continue
