@@ -509,7 +509,7 @@ static Result tmalign(const Chain &c1, const Chain &c2, bool fast) {
 
   std::vector<Aln> seeds;
   // --- gapless threading (reference get_initial role)
-  int stride = fast ? std::max(1, lmin / 8) : std::max(1, lmin / 24);
+  int stride = fast ? std::max(1, lmin / 8) : std::max(1, lmin / 30);
   for (int off = -(l1 - 5); off < l2 - 4; off += stride) {
     int i0 = std::max(0, -off), j0 = std::max(0, off);
     int n = std::min(l1 - i0, l2 - j0);
@@ -536,8 +536,8 @@ static Result tmalign(const Chain &c1, const Chain &c2, bool fast) {
   // global threading matches.
   {
     int f = std::max(8, std::min(20, lmin / 3));
-    int si = std::max(f / 2, l1 / (fast ? 6 : 20));
-    int sj = std::max(f / 2, l2 / (fast ? 6 : 20));
+    int si = std::max(f / 3, l1 / (fast ? 6 : 24));
+    int sj = std::max(f / 3, l2 / (fast ? 6 : 24));
     std::vector<int> fx(f), fy(f);
     for (int i0 = 0; i0 + f <= l1; i0 += si)
       for (int j0 = 0; j0 + f <= l2; j0 += sj) {
@@ -562,7 +562,7 @@ static Result tmalign(const Chain &c1, const Chain &c2, bool fast) {
   }
   std::sort(ranked.begin(), ranked.end(),
             [](auto &a, auto &b) { return a.first > b.first; });
-  size_t top_k = std::min(ranked.size(), (size_t)(fast ? 3 : 24));
+  size_t top_k = std::min(ranked.size(), (size_t)(fast ? 3 : 40));
 
   double best_tm = 0.0;
   Aln best = seeds.empty() ? Aln{} : seeds[ranked[0].second];
@@ -588,6 +588,26 @@ static Result tmalign(const Chain &c1, const Chain &c2, bool fast) {
     nw_align(sm, -0.6, a.ix, a.iy);
     if (a.ix.size() >= 5)
       best_tm = refine_seed(x, y, a, l2, d0_2, d8, iters, best_tm, best);
+  }
+
+  // --- offset-jitter pass: the DP refinement can converge to an alignment
+  // shifted a few residues off the global optimum (a local optimum of the
+  // block offsets). Re-refine from copies of the best alignment shifted
+  // +-1..4 along chain 2; keeps whatever wins.
+  if (!fast && best.ix.size() >= 5) {
+    Aln base = best;
+    for (int s = -4; s <= 4; s++) {
+      if (s == 0) continue;
+      Aln a;
+      for (size_t k = 0; k < base.ix.size(); k++) {
+        int j = base.iy[k] + s;
+        if (j < 0 || j >= l2) continue;
+        a.ix.push_back(base.ix[k]);
+        a.iy.push_back(j);
+      }
+      if (a.ix.size() >= 5)
+        best_tm = refine_seed(x, y, a, l2, d0_2, d8, 8, best_tm, best);
+    }
   }
 
   // trim the alignment to pairs within d8 of the best superposition (the
@@ -664,6 +684,33 @@ int main(int argc, char **argv) {
   std::printf("TM-score= %.5f (if normalized by length of Chain_1)\n", r.tm1);
   std::printf("TM-score= %.5f (if normalized by length of Chain_2)\n", r.tm2);
   std::printf("\n");
+
+  // Alignment block in the reference's 3-line format (final lines of
+  // /root/reference/tm/TMalign.cpp output; ':' = pair under 5 A, '.' =
+  // other aligned pair). Also enables cross-validation: the gapped pair of
+  // sequences is exactly what the reference binary's -I option consumes.
+  {
+    RT rt = kabsch(c1.ca, c2.ca, r.aln.ix, r.aln.iy);
+    std::string s1, mid, s2;
+    size_t i = 0, j = 0;
+    for (size_t k = 0; k < r.aln.ix.size(); k++) {
+      while ((int)i < r.aln.ix[k]) {
+        s1 += c1.seq[i++]; mid += ' '; s2 += '-';
+      }
+      while ((int)j < r.aln.iy[k]) {
+        s1 += '-'; mid += ' '; s2 += c2.seq[j++];
+      }
+      double d = std::sqrt(dist2(apply(rt, c1.ca[i]), c2.ca[j]));
+      mid += (d < 5.0) ? ':' : '.';
+      s1 += c1.seq[i++];
+      s2 += c2.seq[j++];
+    }
+    while (i < c1.ca.size()) { s1 += c1.seq[i++]; mid += ' '; s2 += '-'; }
+    while (j < c2.ca.size()) { s1 += '-'; mid += ' '; s2 += c2.seq[j++]; }
+    std::printf("(\":\" denotes residue pairs of d < 5.0 Angstrom, "
+                "\".\" denotes other aligned residues)\n");
+    std::printf("%s\n%s\n%s\n\n", s1.c_str(), mid.c_str(), s2.c_str());
+  }
 
   if (!matrix_path.empty()) {
     // reference -m format: rows "m  t[m]  u[m][0..2]" for x' = t + u x

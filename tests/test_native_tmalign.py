@@ -111,46 +111,78 @@ def reference_binary(tmp_path_factory):
     return dst
 
 
+def _own_alignment(out: str):
+    """Gapped (seq1, seq2) from our binary's alignment block — the exact
+    input the reference's -I (fixed-alignment) mode consumes."""
+    lines = out.splitlines()
+    for idx, line in enumerate(lines):
+        if line.startswith('(":"'):
+            return lines[idx + 1], lines[idx + 3]
+    raise AssertionError("no alignment block in output")
+
+
 def test_pinned_to_reference_binary(binary, reference_binary, tmp_path):
-    """Score agreement with the reference's own binary across difficulty
-    levels (`/root/reference/tm/TMalign.cpp`): related pairs within 2%;
-    hard/unrelated pairs within -5% (higher is a strictly better alignment
-    search, bounded at +15% as an overcount guard)."""
+    """Score agreement with the reference's own binary
+    (`/root/reference/tm/TMalign.cpp`), VERDICT r2 weak #4 tightened:
+
+    * related pairs: within 2% both sides;
+    * unrelated pairs: never materially worse (own >= ref - 5%), and any
+      score above ref + 5% must be CERTIFIED by the reference itself — its
+      -I mode rescoring our alignment must reproduce our number within 3%
+      (proving the excess is a genuinely better alignment under the
+      reference's own metric, not overcounting).
+    """
     from text2protein_tpu.data.pdbio import write_backbone_pdb
 
     rng = np.random.RandomState(7)
     pairs = []
-    for i, (l1, l2, s1, s2, noise) in enumerate([
-        (60, 60, 0, 0, 0.5), (80, 80, 2, 2, 3.0),   # related
-        (60, 60, 0, 5, 0), (80, 60, 3, 7, 0),        # unrelated
-        (100, 80, 4, 9, 0), (70, 70, 8, 13, 0),
-    ]):
-        bb1 = make_trace(l1, s1)
-        if s1 == s2:
-            bb2 = bb1[:l2] + rng.randn(l2, 1, 3) * noise
-            q, _ = np.linalg.qr(rng.randn(3, 3))
-            if np.linalg.det(q) < 0:
-                q[:, 0] *= -1
-            bb2 = bb2 @ q.T + rng.randn(3) * 15
-        else:
-            bb2 = make_trace(l2, s2)
-        p1, p2 = tmp_path / f"x{i}.pdb", tmp_path / f"y{i}.pdb"
+    # related pairs (noised rigid transforms of the same trace)
+    for i, (l1, noise) in enumerate([(60, 0.5), (80, 3.0)]):
+        bb1 = make_trace(l1, i)
+        bb2 = bb1 + rng.randn(l1, 1, 3) * noise
+        q, _ = np.linalg.qr(rng.randn(3, 3))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        bb2 = bb2 @ q.T + rng.randn(3) * 15
+        p1, p2 = tmp_path / f"r{i}_1.pdb", tmp_path / f"r{i}_2.pdb"
         write_backbone_pdb(p1, bb1)
         write_backbone_pdb(p2, bb2)
-        pairs.append((p1, p2, s1 == s2))
+        pairs.append((p1, p2, True))
+    # unrelated pairs across a length battery
+    for i, (l1, l2) in enumerate([
+        (60, 60), (80, 60), (100, 80), (70, 70), (120, 90),
+        (64, 128), (90, 90), (50, 110), (75, 85), (128, 128),
+    ]):
+        bb1, bb2 = make_trace(l1, 100 + i), make_trace(l2, 200 + i)
+        p1, p2 = tmp_path / f"u{i}_1.pdb", tmp_path / f"u{i}_2.pdb"
+        write_backbone_pdb(p1, bb1)
+        write_backbone_pdb(p2, bb2)
+        pairs.append((p1, p2, False))
 
     for p1, p2, related in pairs:
         ref = _first_tm(subprocess.run(
             [str(reference_binary), str(p1), str(p2)], capture_output=True
         ).stdout.decode())
-        own = _first_tm(subprocess.run(
+        out_own = subprocess.run(
             [str(binary), str(p1), str(p2)], capture_output=True
-        ).stdout.decode())
+        ).stdout.decode()
+        own = _first_tm(out_own)
         rel = (own - ref) / ref
         if related:
             assert abs(rel) < 0.02, f"{p1.name}: ref={ref} own={own}"
-        else:
-            assert -0.05 < rel < 0.15, f"{p1.name}: ref={ref} own={own}"
+            continue
+        assert rel > -0.05, f"{p1.name}: ref={ref} own={own} (worse search)"
+        if rel > 0.05:
+            s1, s2 = _own_alignment(out_own)
+            fa = tmp_path / f"{p1.stem}.fasta"
+            fa.write_text(f">c1\n{s1}\n>c2\n{s2}\n")
+            cert = _first_tm(subprocess.run(
+                [str(reference_binary), str(p1), str(p2), "-I", str(fa)],
+                capture_output=True,
+            ).stdout.decode())
+            assert abs(own - cert) / cert < 0.03, (
+                f"{p1.name}: own={own} not certified by ref -I ({cert})"
+            )
 
 
 def test_mmcif_input(binary, pdbs, tmp_path):
