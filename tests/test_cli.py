@@ -109,6 +109,29 @@ def test_full_cli_workflow(workspace, monkeypatch):
         scores = yaml.safe_load(f)
     assert "avg_score_per_res" in scores
 
+    # ---- sampling_rosetta --fastdesign: sequence design + score split
+    # (`/root/reference/rosetta_min/run.py:156-178`,
+    # `sampling_rosetta.py:125-152` artifact set)
+    rc = rosetta_main([
+        str(cfg_path), "--coords_path", str(out_dir), "--n_iter", "1",
+        "--n_restarts", "2", "--max_iter", "20",
+        "--out_root", str(root / "rosetta_fd"), "--fastdesign",
+    ])
+    assert rc == 0
+    after = list((root / "rosetta_fd").rglob("structure_after_design.pdb"))
+    assert after, "no designed structures"
+    with open(list((root / "rosetta_fd").rglob("score.txt"))[0]) as f:
+        fd_scores = yaml.safe_load(f)
+    assert len(fd_scores["designed_seq"]) == 12
+    assert fd_scores["design_score_after"] <= fd_scores["design_score_before"] + 1e-6
+    assert "cart_energy" in fd_scores
+    # the designed PDB carries the designed residue identities
+    from text2protein_tpu.data.pdbio import read_pdb
+    from text2protein_tpu.data.vocab import THREE_TO_ONE
+
+    res = read_pdb(after[0]).amino_residues()
+    assert "".join(THREE_TO_ONE[r.name] for r in res) == fd_scores["designed_seq"]
+
     # ---- coords_compare on the samples vs ground truth
     from text2protein_tpu.eval.coords_compare import coord_compare
 

@@ -33,6 +33,11 @@ def build_argparser():
     p.add_argument("--angle_std", type=float, default=10.0)
     p.add_argument("--dist_std", type=float, default=2.0)
     p.add_argument("--out_root", type=str, default="sampling/rosetta")
+    p.add_argument("--fastdesign", action="store_true",
+                   help="design a sequence onto each minimized backbone and "
+                        "write structure_after_design.pdb with a before/"
+                        "after score split (`/root/reference/rosetta_min/"
+                        "run.py:156-178`, `sampling_rosetta.py:125-152`)")
     return p
 
 
@@ -103,7 +108,7 @@ def main(argv=None):
         best_e, best_run = np.inf, None
         for n in range(args.n_iter):
             run_dir = out_path / f"round_{n + 1}"
-            _, e_best, energies = run_minimization(
+            bb, e_best, energies = run_minimization(
                 npz, seq, outPath=run_dir, seed=n,
                 n_restarts=args.n_restarts, max_iter=args.max_iter,
                 angle_std=args.angle_std, dist_std=args.dist_std,
@@ -114,6 +119,29 @@ def main(argv=None):
                 "avg_score_per_res": float(e_best / L),
                 "restart_energies": [float(x) for x in energies],
             }
+            # FastDesign role: fixed-backbone sequence design + score split
+            # (the reference scores ref2015 on structure_after_design.pdb vs
+            # cart wts on structure_before_design.pdb,
+            # `/root/reference/sampling_rosetta.py:125-152`).
+            if args.fastdesign:
+                from ..data.pdbio import write_backbone_pdb
+                from ..realize.design import design_sequence, design_score
+
+                fix = None
+                if pose_bb is not None:
+                    fix = np.asarray([c != "_" for c in seq])
+                designed, _ = design_sequence(bb, seed=n, fix_mask=fix,
+                                              fixed_seq=seq)
+                write_backbone_pdb(run_dir / "structure_after_design.pdb",
+                                   bb, seq=designed)
+                before = design_score(bb, seq.replace("_", "A"))
+                after = design_score(bb, designed)
+                scores[f"round_{n + 1}"].update({
+                    "designed_seq": designed,
+                    "design_score_before": round(before["per_res"], 4),
+                    "design_score_after": round(after["per_res"], 4),
+                    "cart_energy": float(e_best),
+                })
             with open(run_dir / "score.txt", "w") as f:
                 yaml.safe_dump(scores[f"round_{n + 1}"], f)
             if e_best < best_e:
@@ -124,8 +152,11 @@ def main(argv=None):
             if link.is_symlink() or link.exists():
                 link.unlink()
             link.symlink_to(best_run.name)
-            # final structure alias (`sampling_rosetta.py:100`)
-            final = best_run / "structure_before_design.pdb"
+            # final structure alias (`sampling_rosetta.py:100`); with
+            # --fastdesign the designed structure is the product
+            final = best_run / ("structure_after_design.pdb"
+                                if args.fastdesign
+                                else "structure_before_design.pdb")
             if final.exists():
                 (out_path / f"rosetta_{pdb_id}.pdb").write_bytes(
                     final.read_bytes()

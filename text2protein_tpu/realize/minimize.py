@@ -126,8 +126,12 @@ def dist_geometry_init(dist_abs: np.ndarray, missing_cutoff: float = 19.5):
     for i in range(L - 1):
         D[i, i + 1] = D[i + 1, i] = min(D[i, i + 1], 3.8)
         missing[i, i + 1] = missing[i + 1, i] = False
+    # dense-graph semantics: 0 means NO edge — clamp genuine near-zero
+    # distances (raw samples do contain d=0 at the clip boundary) to a
+    # positive floor so they stay edges
     Dc = shortest_path(
-        np.where(missing, 0.0, D), method="D", directed=False
+        np.where(missing, 0.0, np.maximum(D, 1e-3)), method="D",
+        directed=False,
     )
     J = np.eye(L) - 1.0 / L
     B = -0.5 * J @ (Dc**2) @ J
