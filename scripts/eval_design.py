@@ -70,8 +70,18 @@ def main():
                   f"({time.time() - t0:.0f}s)")
             backbones.extend(np.asarray(b) for b in bbs)
 
+    # ---- optional learned head (scripts/train_inverse_head.py) -------------
+    head = None
+    try:
+        from text2protein_tpu.realize.design_learned import InverseHead
+
+        head = InverseHead.load()
+        print("learned inverse head loaded")
+    except Exception as e:
+        print(f"no learned head ({e}); physics designer only")
+
     # ---- design + score ----------------------------------------------------
-    rec_design, rec_bayes, rec_comp = [], [], []
+    rec_design, rec_bayes, rec_comp, rec_learned = [], [], [], []
     confusion = Counter()
     t0 = time.time()
     for k, bb in enumerate(backbones):
@@ -79,6 +89,11 @@ def main():
             bb, seed=args.seed + 17 * k, temperature=args.temperature
         )
         designed, _ = design_sequence(bb, seed=args.seed + 17 * k)
+        if head is not None:
+            pred = head.design(bb)
+            rec_learned.append(
+                float(np.mean([a == b for a, b in zip(native, pred)]))
+            )
 
         # Bayes ceiling: the class-modal AA at each position
         from text2protein_tpu.data.synthetic_seq import _table
@@ -110,6 +125,8 @@ def main():
         "native_temperature": args.temperature,
         "recovery_designed": round(float(np.mean(rec_design)), 4),
         "recovery_designed_std": round(float(np.std(rec_design)), 4),
+        "recovery_learned_head": (
+            round(float(np.mean(rec_learned)), 4) if rec_learned else None),
         "recovery_bayes_ceiling": round(float(np.mean(rec_bayes)), 4),
         "recovery_composition_baseline": round(float(np.mean(rec_comp)), 4),
         "recovery_random_baseline": 0.05,

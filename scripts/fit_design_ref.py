@@ -33,6 +33,10 @@ def main():
     p.add_argument("--seed", type=int, default=12345)
     p.add_argument("--init_current", action="store_true",
                    help="start from the frozen design.REF_OFFSET")
+    p.add_argument("--processed", type=str, default=None,
+                   help="calibrate on GT backbones from this processed dir "
+                        "(shuffle seed 99, first n_bb — disjoint from "
+                        "scripts/eval_design.py's seed-0 eval split)")
     args = p.parse_args()
 
     import jax
@@ -42,12 +46,24 @@ def main():
     from text2protein_tpu.data.synthetic import helix_bundle_backbone
     from text2protein_tpu.realize import design as D
 
-    lengths = [64, 80, 96]
-    bbs = [
-        helix_bundle_backbone(lengths[k % len(lengths)],
-                              seed=args.seed + 31 * k, compact=False)
-        for k in range(args.n_bb)
-    ]
+    if args.processed:
+        from text2protein_tpu.data import ProteinProcessedDataset, load_record
+        from pathlib import Path
+
+        processed = Path(args.processed)
+        ds = ProteinProcessedDataset(str(processed))
+        rng = np.random.RandomState(99)
+        paths = sorted(ds.data_paths)
+        rng.shuffle(paths)
+        bbs = [load_record(processed / p)["coords"]
+               for p in paths[: args.n_bb]]
+    else:
+        lengths = [64, 80, 96]
+        bbs = [
+            helix_bundle_backbone(lengths[k % len(lengths)],
+                                  seed=args.seed + 31 * k, compact=False)
+            for k in range(args.n_bb)
+        ]
     from text2protein_tpu.data.synthetic_seq import native_like_sequence
 
     # native-set composition: many sampled native sequences per backbone

@@ -38,6 +38,11 @@ def build_argparser():
                         "write structure_after_design.pdb with a before/"
                         "after score split (`/root/reference/rosetta_min/"
                         "run.py:156-178`, `sampling_rosetta.py:125-152`)")
+    p.add_argument("--designer", type=str, default="learned",
+                   choices=["learned", "physics"],
+                   help="learned = trained inverse-folding head (45%% native "
+                        "recovery on the corpus benchmark); physics = "
+                        "zero-shot knowledge-based Potts design")
     return p
 
 
@@ -130,8 +135,15 @@ def main(argv=None):
                 fix = None
                 if pose_bb is not None:
                     fix = np.asarray([c != "_" for c in seq])
-                designed, _ = design_sequence(bb, seed=n, fix_mask=fix,
-                                              fixed_seq=seq)
+                if args.designer == "learned":
+                    from ..realize.design_learned import InverseHead
+
+                    designed = InverseHead.load().design(
+                        bb, fix_mask=fix, fixed_seq=seq
+                    )
+                else:
+                    designed, _ = design_sequence(bb, seed=n, fix_mask=fix,
+                                                  fixed_seq=seq)
                 write_backbone_pdb(run_dir / "structure_after_design.pdb",
                                    bb, seq=designed)
                 before = design_score(bb, seq.replace("_", "A"))
