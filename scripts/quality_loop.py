@@ -65,7 +65,7 @@ def main():
         train_gen_tm_compare,
     )
     from text2protein_tpu.models import build_model
-    from text2protein_tpu.realize.minimize import realize_batch
+    from text2protein_tpu.realize.minimize import realize_batch_managed
     from text2protein_tpu.text import build_text_encoder
     from text2protein_tpu.training import CheckpointManager, create_train_state
 
@@ -186,6 +186,7 @@ def main():
 
     t1 = time.time()
     energies = np.zeros(len(designs))
+    flagged = np.zeros(len(designs), bool)
     pairs = []
     for L, idxs in sorted(by_len.items()):
         cnns = np.stack([designs[i][1] for i in idxs])
@@ -194,9 +195,12 @@ def main():
         msk = np.zeros((n, n), np.float32)
         msk[:L, :L] = 1.0
         cnns[:, -1] = msk
-        bbs, es = realize_batch(cnns, n_restarts=args.restarts,
-                                max_iter=args.max_iter, seed=args.seed)
+        bbs, es, flags = realize_batch_managed(
+            cnns, n_restarts=args.restarts, max_iter=args.max_iter,
+            seed=args.seed,
+        )
         for k, i in enumerate(idxs):
+            flagged[i] = flags[k]
             rec = designs[i][0]
             name = f"design_{i:03d}_{rec['id']}"
             dpath = ddir / f"{name}.pdb"
@@ -247,7 +251,11 @@ def main():
         },
         "realization_energy": {
             "avg": float(np.mean(energies)),
+            "median": float(np.median(energies)),
             "max": float(np.max(energies)),
+            "flagged_high_energy": int(flagged.sum()),
+            "flagged_ids": [designs[i][0]["id"]
+                            for i in np.nonzero(flagged)[0]],
         },
         "platform": jax.devices()[0].platform,
     }

@@ -484,6 +484,42 @@ def realize_batch(samples_cnn, n_restarts: int = 5, max_iter: int = 300,
     return np.asarray(bbs), np.asarray(energies)
 
 
+def realize_batch_managed(samples_cnn, n_restarts: int = 5,
+                          max_iter: int = 300, seed: int = 0,
+                          retry_factor: float = 3.0, max_retries: int = 2,
+                          **kwargs):
+    """`realize_batch` + tail management (VERDICT r2 weak #3): designs whose
+    selection energy exceeds `retry_factor` x the batch median are
+    re-realized with fresh restart seeds (same compiled shapes — a retry
+    reuses the jitted program, no recompile over the tunnel), keeping the
+    best outcome per design. Designs still above the threshold after
+    `max_retries` are flagged.
+
+    Returns (backbones (D, L, 3, 3), energies (D,), flags (D,) bool —
+    True = realization still high-energy after retries).
+    """
+    samples_cnn = np.asarray(samples_cnn)
+    bbs, energies = realize_batch(samples_cnn, n_restarts=n_restarts,
+                                  max_iter=max_iter, seed=seed, **kwargs)
+    for attempt in range(1, max_retries + 1):
+        med = float(np.median(energies))
+        bad = energies > retry_factor * max(med, 1e-6)
+        if not bad.any():
+            break
+        idx = np.nonzero(bad)[0]
+        bbs_r, es_r = realize_batch(
+            samples_cnn[idx], n_restarts=n_restarts, max_iter=max_iter,
+            seed=seed + 7919 * attempt, **kwargs,
+        )
+        better = es_r < energies[idx]
+        for k, i in enumerate(idx):
+            if better[k]:
+                bbs[i], energies[i] = bbs_r[k], es_r[k]
+    med = float(np.median(energies))
+    flags = energies > retry_factor * max(med, 1e-6)
+    return bbs, energies, flags
+
+
 def realize_6d_sample(coords_6d_cnn: np.ndarray, seq: str | None = None,
                       **kwargs):
     """One-call path from a sampled (C, N, N) map to a backbone
