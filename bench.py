@@ -33,14 +33,24 @@ def main():
     p.add_argument("--norm_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"],
                    help="override model.norm_dtype")
+    p.add_argument("--steps_per_launch", type=int, default=1,
+                   help="train metric: fuse K steps per device launch "
+                        "(training.steps_per_launch's bench analog)")
     p.add_argument("--chunk", type=int, default=None,
                    help="PC steps per device launch (default: largest "
                         "divisor of --steps <= 1000, or <= 100 for N>=256 — "
                         "single launches must stay under the tunnel's "
                         "wall-clock cap)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu — note the env var "
+                        "JAX_PLATFORMS is ignored once the axon plugin is "
+                        "present; this uses jax.config)")
     args = p.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from text2protein_tpu.config import load_config
@@ -225,14 +235,30 @@ def bench_train(args):
     sde, _ = get_sde(config)
     model = build_model(config)
     state = create_train_state(config, model, jax.random.PRNGKey(0), batch)
-    step = make_train_step(config, sde, model, donate=False)
-    state, loss = step(state, batch, jax.random.PRNGKey(1))
-    float(loss)  # sync
+    k = max(1, int(args.steps_per_launch))
+    if k > 1:
+        # the production path (training.steps_per_launch): K steps fused in
+        # one lax.scan launch — amortizes the tunnel's per-launch dispatch
+        # and sync, which dominates single-step timings on this platform
+        from text2protein_tpu.training import make_multi_train_step
 
-    # XLA's own FLOP count for the whole compiled step (fwd+bwd+optimizer)
+        multi = make_multi_train_step(config, sde, model, donate=False)
+        stacked = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (k,) + x.shape), batch
+        )
+        step = lambda s, b_, r: multi(s, b_, r)  # noqa: E731
+        run_batch = stacked
+    else:
+        step = make_train_step(config, sde, model, donate=False)
+        run_batch = batch
+    state, loss = step(state, run_batch, jax.random.PRNGKey(1))
+    np.asarray(loss)  # sync
+
+    # XLA's own FLOP count for the whole compiled launch (fwd+bwd+optimizer)
     step_flops = None
     try:
-        cost = step.lower(state, batch, jax.random.PRNGKey(1)).compile()
+        cost = jax.jit(step).lower(
+            state, run_batch, jax.random.PRNGKey(1)).compile()
         ca = cost.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         step_flops = float(ca["flops"])
@@ -242,8 +268,8 @@ def bench_train(args):
     times = []
     for r in range(args.repeats):
         t0 = time.perf_counter()
-        state, loss = step(state, batch, jax.random.PRNGKey(r + 2))
-        float(loss)
+        state, loss = step(state, run_batch, jax.random.PRNGKey(r + 2))
+        np.asarray(loss)
         times.append(time.perf_counter() - t0)
     dt = min(times)
     n_chips = jax.local_device_count()
@@ -252,13 +278,14 @@ def bench_train(args):
     mfu = step_flops / dt / (peak * n_chips) if step_flops else None
     print(json.dumps({
         "metric": f"L{n}_train_samples_per_sec_per_chip",
-        "value": round(b / dt / n_chips, 2),
+        "value": round(b * k / dt / n_chips, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": None,
     }))
     print(
-        f"# batch={b} step_time={dt * 1000:.1f}ms"
-        + (f" step_flops={step_flops:.3e} MFU={100 * mfu:.1f}%" if mfu else ""),
+        f"# batch={b} steps_per_launch={k} launch_time={dt * 1000:.1f}ms"
+        + (f" launch_flops={step_flops:.3e} MFU={100 * mfu:.1f}%"
+           if mfu else ""),
         file=sys.stderr,
     )
 
