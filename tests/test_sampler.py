@@ -181,7 +181,7 @@ def test_ode_sampler_matches_analytic_gaussian():
     shape = (32, 8, 8, 2)
     sampler = get_ode_sampler(sde, model, shape, num_steps=60)
     out, nfe = sampler({}, jax.random.PRNGKey(0))
-    assert nfe == 120
+    assert nfe == 121  # 60 Heun steps x2 + terminal Tweedie denoise
     out = np.asarray(out)
     std = out.std()
     assert abs(std - s0) / s0 < 0.12, std

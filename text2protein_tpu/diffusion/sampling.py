@@ -307,6 +307,8 @@ def get_sampling_fn(config, sde, model, shape, eps, num_steps=None,
         return get_ode_sampler(
             sde, model, shape, num_steps=num_steps or 100,
             denoise=config.sampling.noise_removal, eps=eps,
+            final_langevin=int(config.sampling.get("ode_final_langevin", 10)),
+            snr=config.sampling.snr,
         )
     n = num_steps or sde.N
     if chunk_size is None and n > 1000 and n % 1000 == 0:
