@@ -32,34 +32,37 @@ def helix_flags(c6d: np.ndarray, L: int, thresh: float = 7.5) -> np.ndarray:
     return d < thresh
 
 
-def count_helices(c6d: np.ndarray, L: int, thresh: float = 7.5,
-                  min_run: int = 4, bridge: int = 1) -> int:
-    """Number of helices in a (C, N, N) 6D map of an L-residue chain."""
-    f = helix_flags(c6d, L, thresh)
-    # bridge short False gaps inside otherwise-helical stretches
-    if bridge > 0 and f.size > 2:
-        g = f.copy()
-        run = 0
-        for i in range(len(f)):
-            if f[i]:
-                if 0 < run <= bridge and i - run - 1 >= 0 and f[i - run - 1]:
-                    g[i - run:i] = True
-                run = 0
-            else:
-                run += 1
-        f = g
-    # count runs >= min_run
-    n, run = 0, 0
-    for v in f:
-        if v:
-            run += 1
-        else:
-            if run >= min_run:
-                n += 1
-            run = 0
-    if run >= min_run:
-        n += 1
-    return n
+def count_helices(c6d: np.ndarray, L: int, dcut: float = 12.0,
+                  kmax: int = 8, kmin: int = 2, need: int = 6,
+                  min_sep: int = 10) -> int:
+    """Number of helices in a (C, N, N) 6D map of an L-residue chain.
+
+    Counts chain REVERSALS rather than helical runs: a turn at position t
+    makes an anti-diagonal contact streak d(t-k, t+k) < dcut for k up to
+    half a helix length, while tight turns also mimic helical d(i,i+4)
+    locally (which broke the run-based counter: 54% exact on GT). Detects
+    local maxima of the anti-diagonal contact count (>= `need` of
+    k in [kmin, kmax]) with `min_sep` non-max suppression; helices =
+    reversals + 1. 98.7% exact-match against captioned helix counts on the
+    decorrelated synthetic corpus GT maps (tuned there; see
+    scripts/eval_text_contrast.py step 1 for per-run validation).
+    """
+    x = np.asarray(c6d)[0]
+    d = (np.clip(x[:L, :L], -1.0, 1.0) + 1.0) * 10.0
+    ks = np.arange(kmin, kmax + 1)
+    score = np.zeros(L)
+    t = np.arange(L)
+    for k in ks:
+        ok = (t - k >= 0) & (t + k < L)
+        tt = t[ok]
+        score[tt] += (d[tt - k, tt + k] < dcut)
+    turns: list[int] = []
+    for t0 in np.argsort(-score):
+        if score[t0] < need:
+            break
+        if all(abs(int(t0) - u) >= min_sep for u in turns):
+            turns.append(int(t0))
+    return len(turns) + 1
 
 
 def helix_fraction(c6d: np.ndarray, L: int, thresh: float = 7.5) -> float:
