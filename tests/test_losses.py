@@ -98,3 +98,39 @@ def test_inpainting_condition():
     loss_fn = get_sde_loss_fn(sde, model, train=False, condition=("inpainting",))
     l = float(loss_fn(params, batch, jax.random.PRNGKey(3)))
     assert np.isfinite(l)
+
+
+def test_context_dropout_nulls_context():
+    """context_dropout=1.0 in train mode must equal a zeroed caption
+    embedding (the CFG null convention); 0.0 must leave the context alone."""
+    config = tiny_config()
+    sde, _ = get_sde(config)
+    model = build_model(config)
+    batch = tiny_batch(config)
+    n = config.data.max_res_num
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        batch["coords_6d"], jnp.zeros((2,)),
+        context=batch["context"], context_mask=batch["context_mask"],
+    )["params"]
+    # cross-attn proj_out is zero-initialized (init_scale 0.0): context cannot
+    # influence a fresh model. Nudge every weight off init so it does.
+    params = jax.tree.map(lambda p: p + 0.02, params)
+
+    rng = jax.random.PRNGKey(11)
+    t = jnp.full((2,), 0.5)
+    z = jax.random.normal(jax.random.PRNGKey(12),
+                          (2, n, n, config.data.num_channels))
+
+    batch_null = dict(batch)
+    batch_null["context"] = jnp.zeros_like(batch["context"])
+
+    drop_all = get_sde_loss_fn(sde, model, train=True, context_dropout=1.0)
+    keep_all = get_sde_loss_fn(sde, model, train=True, context_dropout=0.0)
+
+    l_drop = float(drop_all(params, batch, rng, t=t, z=z))
+    l_null = float(keep_all(params, batch_null, rng, t=t, z=z))
+    l_keep = float(keep_all(params, batch, rng, t=t, z=z))
+
+    np.testing.assert_allclose(l_drop, l_null, rtol=1e-6)
+    assert abs(l_keep - l_null) > 1e-7  # context actually reaches the model

@@ -219,3 +219,43 @@ def test_pick_chunk_divides_steps():
         c = pick_chunk(steps, 500)
         if c is not None:
             assert steps % c == 0 and c <= 500
+
+
+class ContextShiftedGaussianScoreModel(AnalyticGaussianScoreModel):
+    """Score of N(mu, s0^2) data where mu is read off the context embedding
+    (mu = context mean); null context (zeros) recovers the centered model, so
+    CFG at scale w should sample around w*mu."""
+
+    def apply(self, variables, x, labels, context=None, context_mask=None,
+              train=False, rngs=None):
+        sigma = self.sigmas[labels.astype(jnp.int32)]
+        var = self.s0**2 + sigma**2
+        mu = 0.0 if context is None else jnp.mean(context)
+        return -(x - mu) / var.reshape(-1, *([1] * (x.ndim - 1)))
+
+
+def test_cfg_scale_shifts_mean_and_doubles_nfe():
+    """CFG: score = w*s(x,ctx) + (1-w)*s(x,0). For the context-shifted
+    Gaussian this equals the score of N(w*mu, var), so samples must center at
+    w*mu; NFE doubles when guidance is active."""
+    s0, mu, w = 0.5, 2.0, 2.0
+    sde = VESDE(N=200, sigma_min=0.01, sigma_max=20.0)
+    model = ContextShiftedGaussianScoreModel(s0, 0.01, 20.0, 200)
+    shape = (16, 8, 8, 2)
+    context = jnp.full((16, 4, 8), mu)
+
+    plain = get_pc_sampler(sde, model, shape, snr=0.17, n_steps=1)
+    s1, nfe1 = plain({}, jax.random.PRNGKey(0), context=context)
+    assert nfe1 == 200 * 2
+    assert abs(np.asarray(s1).mean() - mu) < 0.1
+
+    guided = get_pc_sampler(sde, model, shape, snr=0.17, n_steps=1,
+                            cfg_scale=w)
+    s2, nfe2 = guided({}, jax.random.PRNGKey(0), context=context)
+    assert nfe2 == 200 * 2 * 2
+    assert abs(np.asarray(s2).mean() - w * mu) < 0.15
+
+    # without context, a guided sampler degrades to the plain one (nfe too)
+    s3, nfe3 = guided({}, jax.random.PRNGKey(0))
+    assert nfe3 == 200 * 2
+    assert abs(np.asarray(s3).mean()) < 0.1

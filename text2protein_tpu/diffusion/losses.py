@@ -62,8 +62,15 @@ def make_conditional_mask(coords_6d, condition, mask_inpaint=None):
 
 
 def get_sde_loss_fn(sde, model, train: bool, condition=(), eps: float = 1e-5,
-                    ss_dropout: float = 0.2):
-    """Returns loss_fn(params, batch, rng) -> scalar loss."""
+                    ss_dropout: float = 0.2, context_dropout: float = 0.0):
+    """Returns loss_fn(params, batch, rng) -> scalar loss.
+
+    `context_dropout` zeroes the whole caption embedding for a random subset
+    of samples (null conditioning). The zero-context convention matches the
+    reference's classifier-free-guidance null (`w*model(x, ctx) +
+    (1-w)*model(x, 0*ctx)`, `/root/reference/sampler/diffusion_sampler.py:
+    125-128`); the token mask is kept so masked attention stays well-defined.
+    Training with it enables CFG sampling (sampling.cfg_scale > 1)."""
     condition = tuple(condition or ())
 
     def loss_fn(params, batch, rng, t=None, z=None):
@@ -73,7 +80,14 @@ def get_sde_loss_fn(sde, model, train: bool, condition=(), eps: float = 1e-5,
         mask_pair = batch["mask_pair"]
         b = coords_6d.shape[0]
 
-        rng, k_drop, k_t, k_z, k_dropout = jax.random.split(rng, 5)
+        rng, k_drop, k_t, k_z, k_dropout, k_ctx = jax.random.split(rng, 6)
+
+        context = batch.get("context")
+        if train and context_dropout > 0.0 and context is not None:
+            keep = (
+                jax.random.uniform(k_ctx, (b,)) >= context_dropout
+            ).astype(context.dtype)
+            context = context * keep[:, None, None]
 
         if "ss" in condition:
             coords_6d = block_dropout(
@@ -99,7 +113,7 @@ def get_sde_loss_fn(sde, model, train: bool, condition=(), eps: float = 1e-5,
 
         perturbed = jnp.where(mask, perturbed, coords_6d)
         score = score_fn(
-            perturbed, t, batch.get("context"), batch.get("context_mask")
+            perturbed, t, context, batch.get("context_mask")
         )
         losses = jnp.square(score * bcast(std, score.ndim) + z) * mask
         losses = jnp.sum(losses.reshape(b, -1), axis=-1)

@@ -198,12 +198,19 @@ def get_pc_sampler(
     eps=1e-5,
     num_steps=None,
     chunk_size=None,
+    cfg_scale=1.0,
 ):
     """Build a jit-compiled PC sampler.
 
     Returns sampler(params, key, condition=None, context=None,
     context_mask=None) -> (samples (B, N, N, C), nfe). `num_steps` overrides
     sde.N for faster schedules (NFE = num_steps * (n_steps + 1)).
+
+    `cfg_scale` > 1 applies classifier-free guidance on the text context:
+    score = w*s(x, ctx) + (1-w)*s(x, 0*ctx). The null condition is the
+    zeroed caption embedding (the reference's convention in its DDIM CFG
+    path); requires a model trained with `model.context_dropout` > 0.
+    Doubles the NFE when active.
 
     `chunk_size` splits the reverse trajectory into multiple device launches
     of at most that many steps (one compiled scan reused across chunks) —
@@ -221,11 +228,20 @@ def get_pc_sampler(
     # num_scales label convention.
     sde_sampler = dataclasses.replace(sde, N=N) if N != sde.N else sde
 
+    guided = cfg_scale != 1.0
+
     def _make_step(params, context, context_mask, cmask, x_initial):
         base_score_fn = get_score_fn(sde, model, params, train=False)
 
-        def score_fn(x, t):
-            return base_score_fn(x, t, context, context_mask)
+        if guided and context is not None:
+            def score_fn(x, t):
+                s_cond = base_score_fn(x, t, context, context_mask)
+                s_null = base_score_fn(
+                    x, t, jnp.zeros_like(context), context_mask)
+                return cfg_scale * s_cond + (1.0 - cfg_scale) * s_null
+        else:
+            def score_fn(x, t):
+                return base_score_fn(x, t, context, context_mask)
 
         pred = predictor_cls(sde_sampler, score_fn, probability_flow)
         corr = corrector_cls(sde_sampler, score_fn, snr, n_steps)
@@ -253,7 +269,8 @@ def get_pc_sampler(
         step = _make_step(params, context, context_mask, cmask, x_initial)
         (x, x_mean, _), _ = jax.lax.scan(step, (x, x, key), timesteps)
         x_mean = jnp.where(cmask, x_mean, x_initial)
-        return (x_mean if denoise else x), N * (n_steps + 1)
+        mult = 2 if (guided and context is not None) else 1
+        return (x_mean if denoise else x), N * (n_steps + 1) * mult
 
     if chunk_size is None or chunk_size >= N:
         return sampler
@@ -290,7 +307,8 @@ def get_pc_sampler(
             # TPU tunnel, but fetching an element of the chunk's output does.
             np.asarray(x[(0,) * x.ndim])
         x_mean = jnp.where(cmask, x_mean, x_initial)
-        return (x_mean if denoise else x), N * (n_steps + 1)
+        mult = 2 if (guided and context is not None) else 1
+        return (x_mean if denoise else x), N * (n_steps + 1) * mult
 
     return chunked_sampler
 
@@ -326,4 +344,5 @@ def get_sampling_fn(config, sde, model, shape, eps, num_steps=None,
         eps=eps,
         num_steps=num_steps,
         chunk_size=chunk_size,
+        cfg_scale=float(config.sampling.get("cfg_scale", 1.0)),
     )

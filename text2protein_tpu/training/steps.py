@@ -47,7 +47,8 @@ def _make_one_step(config, sde, model):
     shared by the single-step and fused multi-step builders so their
     semantics cannot diverge."""
     loss_fn = get_sde_loss_fn(
-        sde, model, train=True, condition=tuple(config.model.condition)
+        sde, model, train=True, condition=tuple(config.model.condition),
+        context_dropout=float(config.model.get("context_dropout", 0.0)),
     )
     tx = build_optimizer(config)
     featurize = _featurizer(config)
