@@ -52,20 +52,25 @@ def workspace(tmp_path_factory):
     return root, cfg_path
 
 
-def test_full_cli_workflow(workspace, monkeypatch):
+@pytest.fixture(scope="module")
+def trained(workspace):
+    """prepare_dataset + a 6-step training run, shared by the CLI tests."""
     root, cfg_path = workspace
-    monkeypatch.chdir(root)
-
-    # ---- prepare_dataset
     from text2protein_tpu.cli.prepare_dataset import main as prepare_main
+    from text2protein_tpu.cli.train import main as train_main
 
     n = prepare_main([str(cfg_path), "--num_workers", "1"])
     assert n >= 6
+    workdir = train_main([str(cfg_path), "--workdir_root", str(root / "training")])
+    return workdir
 
-    # ---- train (2 epochs, 6 steps max)
+
+def test_full_cli_workflow(workspace, trained, monkeypatch):
+    root, cfg_path = workspace
+    monkeypatch.chdir(root)
+    workdir = trained
     from text2protein_tpu.cli.train import main as train_main
 
-    workdir = train_main([str(cfg_path), "--workdir_root", str(root / "training")])
     assert (workdir / "checkpoints-meta" / "checkpoint").exists()
     assert (workdir / "checkpoints" / "best_train").exists()
     assert (workdir / "train_ids.txt").exists()
@@ -138,3 +143,69 @@ def test_full_cli_workflow(workspace, monkeypatch):
     stats = coord_compare(out_dir, root / "processed",
                           out_path=root / "mse.yml")
     assert stats["count"] >= 1 and np.isfinite(stats["avg"])
+
+
+def test_pdb_mask_conditioning_cli(workspace, trained, monkeypatch):
+    """sampling_6d --pdb/--chain/--mask_info: conditions from a real PDB file
+    must clamp the unmasked region of the sample bit-exactly to the PDB's
+    featurized 6D maps (`/root/reference/sampling_6d.py:41-53` flag set,
+    `utils.py:122-137` condition construction)."""
+    import yaml as _yaml
+
+    root, cfg_path = workspace
+    monkeypatch.chdir(root)
+
+    # condition config variant: length + inpainting (same architecture, so
+    # the checkpoint trained under ["length"] restores unchanged)
+    cfg = _yaml.safe_load(cfg_path.read_text())
+    cfg["model"]["condition"] = ["length", "inpainting"]
+    cfg2 = root / "tiny_inpaint.yml"
+    cfg2.write_text(_yaml.safe_dump(cfg))
+
+    L = 12
+    bb = ideal_helix_backbone(L, seed=99)
+    from text2protein_tpu.data.pdbio import write_backbone_pdb
+
+    pdb_path = root / "cond_src.pdb"
+    seq = "A" * L
+    write_backbone_pdb(pdb_path, bb, seq=seq, chain="A")
+
+    from text2protein_tpu.cli.sampling_6d import main as sample_main
+
+    ckpt = trained / "checkpoints" / "best_eval"
+    mask_info = "3:6"
+    out_dir = sample_main([
+        str(cfg2), str(ckpt), "--batch_size", "2", "--num_steps", "4",
+        "--processed_dir", str(root / "processed"), "--tag", "pdbcond",
+        "--pdb", str(pdb_path), "--chain", "A", "--mask_info", mask_info,
+    ])
+    pkls = sorted(out_dir.glob("sampled_*.pkl"))
+    assert pkls, "no samples written"
+
+    # expected clamp values: the same condition the CLI built
+    from text2protein_tpu.config import load_config
+    from text2protein_tpu.conditioning import get_conditions_from_pdb
+    import pickle as _pickle
+
+    config = load_config(str(cfg2))
+    cond = get_conditions_from_pdb(
+        str(pdb_path), config, "A", mask_info, batch_size=2)
+    coords = np.asarray(cond["inpainting"]["coords_6d"][0])      # (N, N, C)
+    inp = np.asarray(cond["inpainting"]["mask_inpaint"][0])      # (N, N)
+
+    with open(pkls[0], "rb") as f:
+        sample = _pickle.load(f)[0].transpose(1, 2, 0)           # -> (N, N, C)
+
+    length_sq = np.zeros(sample.shape[:2], bool)
+    length_sq[:L, :L] = True
+    clamped = length_sq & ~inp
+    free = length_sq & inp
+    assert clamped.any() and free.any()
+    # clamped region equals the PDB's featurized maps exactly
+    np.testing.assert_array_equal(sample[clamped], coords[clamped])
+    # inpainted region actually evolved away from the (zero-initialised) prior
+    assert np.abs(sample[free][:, :4]).mean() > 1e-3
+    # mutually exclusive flags rejected, like the reference
+    with pytest.raises(AssertionError):
+        sample_main([str(cfg2), str(ckpt), "--pdb", str(pdb_path),
+                     "--select_length"])
