@@ -60,6 +60,9 @@ def main():
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--out", type=str, default="reports/quality_text.json")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cfg_scale", type=float, default=1.0,
+                   help="classifier-free guidance scale (needs a model "
+                        "trained with model.context_dropout > 0)")
     args = p.parse_args()
 
     import jax
@@ -130,6 +133,7 @@ def main():
     print(f"restored checkpoint at step {step_trained}")
     params = state.ema.params
 
+    config.sampling.cfg_scale = args.cfg_scale
     sampler = get_sampling_fn(
         config, sde, model, (bs, n, n, c), eps,
         num_steps=args.steps, chunk_size=pick_chunk(args.steps, 500),
@@ -204,6 +208,7 @@ def main():
         "trained_steps": step_trained,
         "pc_steps": args.steps,
         "batch": bs,
+        "cfg_scale": args.cfg_scale,
         "detector_gt_accuracy": round(det_acc, 4),
         "detector_gt_n": n_total,
         "caption_detected_correlation": corr,
