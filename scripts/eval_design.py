@@ -50,13 +50,19 @@ def main():
     backbones = []
     if args.processed:
         from text2protein_tpu.data import ProteinProcessedDataset, load_record
+        from text2protein_tpu.realize.design_learned import design_eval_split
 
         processed = Path(args.processed)
         ds = ProteinProcessedDataset(str(processed))
-        rng = np.random.RandomState(args.seed)
-        paths = list(ds.data_paths)
-        rng.shuffle(paths)
-        for path in paths[: args.n * len(lengths)]:
+        # evaluate ONLY on the canonical reserved prefix — everything after
+        # it may have trained the learned head (train_inverse_head.py)
+        eval_paths, _ = design_eval_split(ds.data_paths)
+        want = args.n * len(lengths)
+        assert want <= len(eval_paths), (
+            f"requested {want} eval backbones but only {len(eval_paths)} are "
+            f"reserved held-out; lower --n or retrain the head with a larger "
+            f"--eval_n")
+        for path in eval_paths[:want]:
             rec = load_record(processed / path)
             backbones.append(np.asarray(rec["coords"], np.float32))
     else:
@@ -81,6 +87,9 @@ def main():
         print(f"no learned head ({e}); physics designer only")
 
     # ---- design + score ----------------------------------------------------
+    from text2protein_tpu.data.synthetic_seq import _table
+
+    tables = _table(args.temperature)  # constant across backbones
     rec_design, rec_bayes, rec_comp, rec_learned = [], [], [], []
     confusion = Counter()
     t0 = time.time()
@@ -96,9 +105,6 @@ def main():
             )
 
         # Bayes ceiling: the class-modal AA at each position
-        from text2protein_tpu.data.synthetic_seq import _table
-
-        tables = _table(args.temperature)
         bayes = "".join(
             AA20[int(np.argmax(tables[c]))] for c in classes
         )

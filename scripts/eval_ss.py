@@ -49,12 +49,11 @@ def main():
 
     from text2protein_tpu.config import load_config
     from text2protein_tpu.conditioning import length_mask
-    from text2protein_tpu.data import ProteinProcessedDataset, load_record
+    from text2protein_tpu.data import load_record
     from text2protein_tpu.data.pdbio import write_backbone_pdb
     from text2protein_tpu.data.ss import parse_ss_spans
     from text2protein_tpu.diffusion import get_sde
     from text2protein_tpu.diffusion.sampling import get_sampling_fn, pick_chunk
-    from text2protein_tpu.eval.coords_compare import mse_6d
     from text2protein_tpu.eval.helix_count import helix_flags
     from text2protein_tpu.eval.tm_sweeps import gt_gen_tm_compare
     from text2protein_tpu.models import build_model
@@ -70,7 +69,6 @@ def main():
     assert c == 8, "eval_ss needs a C=8 (cond_ss) model"
     bs = args.batch
 
-    dataset = ProteinProcessedDataset(str(processed))
     test_ids = [l.strip()
                 for l in (workdir / "test_ids.txt").read_text().splitlines()
                 if l.strip()]

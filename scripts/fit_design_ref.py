@@ -35,8 +35,8 @@ def main():
                    help="start from the frozen design.REF_OFFSET")
     p.add_argument("--processed", type=str, default=None,
                    help="calibrate on GT backbones from this processed dir "
-                        "(shuffle seed 99, first n_bb — disjoint from "
-                        "scripts/eval_design.py's seed-0 eval split)")
+                        "(non-eval remainder of design_eval_split, so "
+                        "guaranteed disjoint from eval_design.py's split)")
     args = p.parse_args()
 
     import jax
@@ -48,15 +48,18 @@ def main():
 
     if args.processed:
         from text2protein_tpu.data import ProteinProcessedDataset, load_record
+        from text2protein_tpu.realize.design_learned import design_eval_split
         from pathlib import Path
 
         processed = Path(args.processed)
         ds = ProteinProcessedDataset(str(processed))
+        # calibrate only on the NON-eval remainder of the canonical split so
+        # REF_OFFSET is never fit on eval_design.py's benchmark backbones
+        _, rest = design_eval_split(ds.data_paths)
         rng = np.random.RandomState(99)
-        paths = sorted(ds.data_paths)
-        rng.shuffle(paths)
+        rng.shuffle(rest)
         bbs = [load_record(processed / p)["coords"]
-               for p in paths[: args.n_bb]]
+               for p in rest[: args.n_bb]]
     else:
         lengths = [64, 80, 96]
         bbs = [

@@ -34,14 +34,14 @@ def main():
 
     from text2protein_tpu.data import ProteinProcessedDataset, load_record
     from text2protein_tpu.data.synthetic_seq import native_like_sequence
-    from text2protein_tpu.realize.design_learned import train_head
+    from text2protein_tpu.realize.design_learned import (
+        design_eval_split, train_head,
+    )
 
     processed = Path(args.processed)
     ds = ProteinProcessedDataset(str(processed))
-    # the eval split in eval_design.py: seed-0 shuffle, first eval_n*3
-    paths = list(ds.data_paths)
-    np.random.RandomState(args.seed).shuffle(paths)
-    train_paths = paths[args.eval_n * 3:]
+    _, train_paths = design_eval_split(
+        ds.data_paths, n_eval=args.eval_n * 3, seed=args.seed)
     print(f"{len(train_paths)} training records "
           f"(first {args.eval_n * 3} reserved for eval)")
 

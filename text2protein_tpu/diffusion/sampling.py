@@ -320,6 +320,10 @@ def get_sampling_fn(config, sde, model, shape, eps, num_steps=None,
     `ode` (Heun probability-flow, diffusion/ode.py)."""
     method = str(config.sampling.get("method", "pc")).lower()
     if method == "ode":
+        if float(config.sampling.get("cfg_scale", 1.0)) != 1.0:
+            raise NotImplementedError(
+                "sampling.cfg_scale is only wired into the PC sampler; an "
+                "ODE run would silently ignore guidance — use method: pc")
         from .ode import get_ode_sampler
 
         return get_ode_sampler(

@@ -27,24 +27,29 @@ from .design import (
     burial_fraction,
     cb_coords,
     contact_pairs,
+    dihedral,
 )
 
 _HEAD_PATH = Path(__file__).with_name("inverse_head.npz")
 
 
+def design_eval_split(data_paths, n_eval: int = 96, seed: int = 0):
+    """Canonical held-out split for the sequence-design benchmark, shared by
+    scripts/train_inverse_head.py (trains on everything AFTER the prefix),
+    scripts/eval_design.py (evaluates ON the prefix), and
+    scripts/fit_design_ref.py (calibrates on the non-eval remainder).
+    Returns (eval_paths, rest_paths): seed-`seed` shuffle of the sorted
+    record paths, first `n_eval` reserved for evaluation."""
+    paths = sorted(data_paths)
+    np.random.RandomState(seed).shuffle(paths)
+    return paths[:n_eval], paths[n_eval:]
+
+
 def backbone_psi(bb: np.ndarray) -> np.ndarray:
     """(L,) psi dihedrals (last set to pi/3)."""
     n, ca, c = bb[:, 0], bb[:, 1], bb[:, 2]
-
-    def dihed(p0, p1, p2, p3):
-        b0, b1, b2 = p0 - p1, p2 - p1, p3 - p2
-        b1 = b1 / (np.linalg.norm(b1, axis=-1, keepdims=True) + 1e-9)
-        v = b0 - (b0 * b1).sum(-1, keepdims=True) * b1
-        w = b2 - (b2 * b1).sum(-1, keepdims=True) * b1
-        return np.arctan2((np.cross(b1, v) * w).sum(-1), (v * w).sum(-1))
-
     psi = np.full(len(bb), np.pi / 3)
-    psi[:-1] = dihed(n[:-1], ca[:-1], c[:-1], n[1:])
+    psi[:-1] = dihedral(n[:-1], ca[:-1], c[:-1], n[1:])
     return psi
 
 

@@ -507,14 +507,17 @@ def realize_batch_managed(samples_cnn, n_restarts: int = 5,
         if not bad.any():
             break
         idx = np.nonzero(bad)[0]
+        # Re-run the FULL batch (not the flagged subset): the jitted program
+        # is shape-specialized on (D, R, L, 3, 3), so a subset would retrace
+        # and recompile — minutes over the axon tunnel at N=256. Fresh
+        # restart seeds; improvements are kept only at the flagged indices.
         bbs_r, es_r = realize_batch(
-            samples_cnn[idx], n_restarts=n_restarts, max_iter=max_iter,
+            samples_cnn, n_restarts=n_restarts, max_iter=max_iter,
             seed=seed + 7919 * attempt, **kwargs,
         )
-        better = es_r < energies[idx]
-        for k, i in enumerate(idx):
-            if better[k]:
-                bbs[i], energies[i] = bbs_r[k], es_r[k]
+        for i in idx:
+            if es_r[i] < energies[i]:
+                bbs[i], energies[i] = bbs_r[i], es_r[i]
     med = float(np.median(energies))
     flags = energies > retry_factor * max(med, 1e-6)
     return bbs, energies, flags
