@@ -92,3 +92,19 @@ def test_native_generator_contract(bundle):
     s3, _, _ = native_like_sequence(bundle, seed=12)
     assert s1 == s2 and s1 != s3
     assert len(cls) == 48 and 0.0 < ceil < 1.0
+
+
+def test_design_eval_split_canonical_and_disjoint():
+    """The benchmark split helper must be deterministic, disjoint, and
+    independent of input ordering (train_inverse_head / eval_design /
+    fit_design_ref all rely on it)."""
+    from text2protein_tpu.realize.design_learned import design_eval_split
+
+    paths = [f"rec_{i:03d}.npz" for i in range(20)]
+    ev1, rest1 = design_eval_split(paths, n_eval=6)
+    ev2, rest2 = design_eval_split(list(reversed(paths)), n_eval=6)
+    assert ev1 == ev2 and rest1 == rest2          # order-independent
+    assert len(ev1) == 6 and len(rest1) == 14
+    assert not set(ev1) & set(rest1)              # disjoint
+    assert sorted(ev1 + rest1) == paths           # partition
+    assert ev1 != sorted(ev1)                     # actually shuffled
