@@ -327,3 +327,32 @@ def test_realize_batch_managed_retries_and_flags():
     assert np.isfinite(energies).all()
     assert flags.dtype == bool and flags.shape == (4,)
     assert flags[3] and not flags[:3].any()
+
+
+def test_realize_batch_managed_keep_best_writes_readonly(monkeypatch):
+    """Regression: realize_batch returns np.asarray views of jax arrays,
+    which are READ-ONLY; the keep-best retry write must copy first
+    (crashed the r3 SS eval with 'assignment destination is read-only')."""
+    import text2protein_tpu.realize.minimize as M
+
+    L, D = 8, 3
+    calls = {"n": 0}
+
+    def fake_realize_batch(samples_cnn, **kwargs):
+        calls["n"] += 1
+        bbs = np.zeros((D, L, 3, 3), dtype=np.float32)
+        bbs += calls["n"]
+        # first call: design 2 is a 10x-median outlier; retry halves it
+        es = np.array([1.0, 1.0, 10.0 / calls["n"]], dtype=np.float32)
+        bbs.setflags(write=False)
+        es.setflags(write=False)
+        return bbs, es
+
+    monkeypatch.setattr(M, "realize_batch", fake_realize_batch)
+    bbs, energies, flags = M.realize_batch_managed(
+        np.zeros((D, 5, L, L), dtype=np.float32), max_retries=1
+    )
+    assert calls["n"] == 2
+    # design 2's retry result (value 2.0 backbone, energy 5.0) was kept
+    assert energies[2] == 5.0 and (bbs[2] == 2.0).all()
+    assert energies[0] == 1.0 and (bbs[0] == 1.0).all()

@@ -501,6 +501,9 @@ def realize_batch_managed(samples_cnn, n_restarts: int = 5,
     samples_cnn = np.asarray(samples_cnn)
     bbs, energies = realize_batch(samples_cnn, n_restarts=n_restarts,
                                   max_iter=max_iter, seed=seed, **kwargs)
+    # np.asarray over a jax array is a read-only view; the retry loop below
+    # writes per-design improvements in place, so take writable copies.
+    bbs, energies = np.array(bbs), np.array(energies)
     for attempt in range(1, max_retries + 1):
         med = float(np.median(energies))
         bad = energies > retry_factor * max(med, 1e-6)
