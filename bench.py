@@ -254,14 +254,18 @@ def bench_train(args):
     state, loss = step(state, run_batch, jax.random.PRNGKey(1))
     np.asarray(loss)  # sync
 
-    # XLA's own FLOP count for the whole compiled launch (fwd+bwd+optimizer)
+    # XLA's own FLOP count for one train step (fwd+bwd+optimizer). Always
+    # taken from the SINGLE-step program: cost_analysis counts a lax.scan
+    # body ONCE regardless of trip count, so lowering the fused k-step
+    # program would under-report the launch FLOPs by exactly k.
     step_flops = None
     try:
-        cost = jax.jit(step).lower(
-            state, run_batch, jax.random.PRNGKey(1)).compile()
+        single = make_train_step(config, sde, model, donate=False)
+        cost = jax.jit(single).lower(
+            state, batch, jax.random.PRNGKey(1)).compile()
         ca = cost.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        step_flops = float(ca["flops"])
+        step_flops = float(ca["flops"]) * k
     except Exception as e:
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
 

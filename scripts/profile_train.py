@@ -107,7 +107,6 @@ def main():
         stacked = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (args.k,) + x.shape), batch)
         tk = timeit(multi, state, stacked, jax.random.PRNGKey(1))
-        fk = flops_of(multi, state, stacked, jax.random.PRNGKey(1))
 
         loss_fn = get_sde_loss_fn(sde, model, train=True,
                                   condition=tuple(config.model.condition))
@@ -115,7 +114,10 @@ def main():
         tf = timeit(fwd, state.params, batch, jax.random.PRNGKey(1))
 
         mfu1 = f1 / t1 / peak if f1 else float("nan")
-        mfuk = fk / tk / peak if fk else float("nan")
+        # cost_analysis counts the lax.scan body ONCE regardless of trip
+        # count, so fk == f1 and dividing by the k-step wall time would
+        # under-report fused MFU by exactly k; use per-step flops instead.
+        mfuk = f1 / (tk / args.k) / peak if f1 else float("nan")
         overhead = t1 - tk / args.k
         print(f"B={b}: single {t1*1000:.1f}ms (MFU {100*mfu1:.1f}%) | "
               f"fused/{args.k} {tk/args.k*1000:.1f}ms (MFU {100*mfuk:.1f}%) "
