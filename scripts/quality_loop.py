@@ -43,7 +43,7 @@ def main():
     p.add_argument("--max_train_refs", type=int, default=32,
                    help="novelty sweep reference-set size")
     p.add_argument("--checkpoint", type=str, default=None)
-    p.add_argument("--sampler", type=str, default="pc", choices=["pc", "ode"],
+    p.add_argument("--sampler", type=str, default="pc", choices=["pc", "ode", "hybrid"],
                    help="pc = reference predictor-corrector chain; ode = "
                         "Heun probability-flow (few-NFE deployment path)")
     p.add_argument("--out", type=str, default="reports/quality_10k.json")
@@ -124,8 +124,8 @@ def main():
     # --- sample ---------------------------------------------------------------
     from text2protein_tpu.diffusion.sampling import pick_chunk
 
-    if args.sampler == "ode":
-        config.sampling.method = "ode"
+    if args.sampler in ("ode", "hybrid"):
+        config.sampling.method = args.sampler
     sampler = get_sampling_fn(
         config, sde, model, (bs, n, n, c), eps,
         num_steps=args.steps,

@@ -259,3 +259,43 @@ def test_cfg_scale_shifts_mean_and_doubles_nfe():
     s3, nfe3 = guided({}, jax.random.PRNGKey(0))
     assert nfe3 == 200 * 2
     assert abs(np.asarray(s3).mean()) < 0.1
+
+
+def test_hybrid_sampler_matches_analytic_gaussian():
+    """ODE head + PC tail must hit the analytic Gaussian target, at the
+    documented NFE (2*ode_steps + pc_steps*(n_steps+1))."""
+    from text2protein_tpu.diffusion.ode import get_hybrid_sampler
+
+    s0 = 0.5
+    sde = VESDE(N=2000, sigma_min=0.01, sigma_max=20.0)
+    model = AnalyticGaussianScoreModel(s0, 0.01, 20.0, 2000)
+    shape = (32, 8, 8, 2)
+    sampler = get_hybrid_sampler(sde, model, shape, ode_steps=30,
+                                 pc_steps=60, sigma_cross=2.0)
+    out, nfe = sampler({}, jax.random.PRNGKey(0))
+    assert nfe == 2 * 30 + 60 * 2
+    out = np.asarray(out)
+    std = out.std()
+    assert abs(std - s0) / s0 < 0.15, std
+    assert abs(out.mean()) < 0.1
+
+
+def test_hybrid_sampler_conditioning_clamp():
+    from text2protein_tpu.diffusion.ode import get_hybrid_sampler
+
+    sde = VESDE(N=100, sigma_min=0.01, sigma_max=10.0)
+    model = AnalyticGaussianScoreModel(1.0, 0.01, 10.0, 100)
+    b, n, c = 2, 8, 5
+    v = np.zeros((b, n, n), bool)
+    v[0, :4, :4] = True
+    v[1, :6, :6] = True
+    condition = {"length": jnp.asarray(v)}
+    sampler = get_hybrid_sampler(sde, model, (b, n, n, c), ode_steps=10,
+                                 pc_steps=20, sigma_cross=1.0)
+    out, _ = sampler({}, jax.random.PRNGKey(1), condition=condition)
+    out = np.asarray(out)
+    # same clamp contract as the PC sampler: mask channel == the length
+    # mask everywhere; everything outside the length square exactly 0
+    np.testing.assert_array_equal(out[..., -1], np.asarray(v, np.float32))
+    assert np.all(out[~v] == 0.0)
+    assert np.abs(out[v][:, :-1]).mean() > 0.01

@@ -109,3 +109,107 @@ def get_ode_sampler(sde, model, shape, num_steps=100, denoise=True, eps=1e-5,
         return x, nfe
 
     return sampler
+
+
+def get_hybrid_sampler(sde, model, shape, ode_steps=60, pc_steps=170,
+                       sigma_cross=2.0, snr=0.17, n_steps=1, denoise=True,
+                       eps=1e-5, cfg_scale=1.0):
+    """ODE head + PC tail: deployment sampler recovering PC realization
+    quality at a fraction of the NFE.
+
+    Motivation (reports/ode_nfe_sweep.json): pure Heun ODE samples plateau
+    ~11% below the PC chain in TM regardless of NFE, and realize at ~13x
+    higher restraint energy, even though their 6D MSE is BETTER — the
+    deterministic trajectory lands on maps whose channels are mutually
+    inconsistent, and the restraint minimizer pays for it. The stochastic
+    Langevin churn of the PC chain (`/root/reference/score_sde_pytorch/
+    sampling.py:170-199`) is what keeps channels consistent, and it only
+    matters at LOW sigma where fine structure forms. So: integrate the
+    probability-flow ODE over the smooth high-sigma regime
+    (sigma_max -> sigma_cross), then hand off to the corrector+predictor
+    chain for sigma_cross -> sigma_min.
+
+    The PC tail reuses the ladder convention of `get_pc_sampler`: a
+    full-range re-discretized SDE whose step spacing equals the tail's, so
+    VESDE.discretize's G = sqrt(sigma_t^2 - sigma_{t-1}^2) spans exactly
+    one sampled step. NFE = 2*ode_steps + pc_steps*(n_steps+1).
+    """
+    from .sampling import get_predictor, get_corrector
+
+    # crossover time: sigma(t) = sigma_min*(sigma_max/sigma_min)^t
+    import math
+
+    t_cross = (
+        math.log(sigma_cross / sde.sigma_min)
+        / math.log(sde.sigma_max / sde.sigma_min)
+    ) * sde.T
+    # full-range ladder whose spacing matches the PC tail's, with the tail's
+    # first point landing on (approximately) t_cross
+    spacing = (t_cross - eps) / max(pc_steps - 1, 1)
+    n_full = int(round((sde.T - eps) / spacing)) + 1
+    sde_tail = dataclasses.replace(sde, N=n_full)
+    timesteps_full = jnp.linspace(sde.T, eps, n_full)
+    t_pc = timesteps_full[n_full - pc_steps:]
+    t_handoff = float(t_pc[0])
+
+    predictor_cls = get_predictor("reverse_diffusion")
+    corrector_cls = get_corrector("langevin")
+    guided = cfg_scale != 1.0
+
+    @jax.jit
+    def sampler(params, key, condition=None, context=None, context_mask=None):
+        base_score_fn = get_score_fn(sde, model, params, train=False)
+
+        if guided and context is not None:
+            def score_fn(x, t):
+                s_cond = base_score_fn(x, t, context, context_mask)
+                s_null = base_score_fn(
+                    x, t, jnp.zeros_like(context), context_mask)
+                return cfg_scale * s_cond + (1.0 - cfg_scale) * s_null
+        else:
+            def score_fn(x, t):
+                return base_score_fn(x, t, context, context_mask)
+
+        def drift(x, t):
+            vec_t = jnp.full((shape[0],), t)
+            f, g = sde.sde(x, vec_t)
+            return f - 0.5 * bcast(g, x.ndim) ** 2 * score_fn(x, vec_t)
+
+        key, sub = jax.random.split(key)
+        x = sde.prior_sampling(sub, shape)
+        x, cmask = apply_condition(x, condition)
+        x_initial = x
+
+        # --- ODE head: Heun over [T, t_handoff] -------------------------
+        t_ode = jnp.linspace(sde.T, t_handoff, ode_steps + 1)
+
+        def ode_step(x, inp):
+            t, t_next = inp
+            dt = t_next - t
+            d1 = drift(x, t)
+            d2 = drift(x + d1 * dt, t_next)
+            x_new = x + 0.5 * (d1 + d2) * dt
+            return jnp.where(cmask, x_new, x_initial), None
+
+        x, _ = jax.lax.scan(ode_step, x, (t_ode[:-1], t_ode[1:]))
+
+        # --- PC tail: corrector + predictor over [t_handoff, eps] -------
+        pred = predictor_cls(sde_tail, score_fn, False)
+        corr = corrector_cls(sde_tail, score_fn, snr, n_steps)
+
+        def pc_step(carry, t):
+            x, _x_mean, key = carry
+            vec_t = jnp.full((shape[0],), t)
+            key, kc, kp = jax.random.split(key, 3)
+            x, x_mean = corr.update_fn(kc, x, vec_t)
+            x = jnp.where(cmask, x, x_initial)
+            x, x_mean = pred.update_fn(kp, x, vec_t)
+            x = jnp.where(cmask, x, x_initial)
+            return (x, x_mean, key), None
+
+        (x, x_mean, _), _ = jax.lax.scan(pc_step, (x, x, key), t_pc)
+        x_mean = jnp.where(cmask, x_mean, x_initial)
+        nfe = 2 * ode_steps + pc_steps * (n_steps + 1)
+        return (x_mean if denoise else x), nfe
+
+    return sampler

@@ -319,6 +319,20 @@ def get_sampling_fn(config, sde, model, shape, eps, num_steps=None,
     sampling.py:78-104`). `sampling.method: pc` (reference default) or
     `ode` (Heun probability-flow, diffusion/ode.py)."""
     method = str(config.sampling.get("method", "pc")).lower()
+    if method == "hybrid":
+        from .ode import get_hybrid_sampler
+
+        return get_hybrid_sampler(
+            sde, model, shape,
+            ode_steps=int(config.sampling.get("hybrid_ode_steps", 60)),
+            pc_steps=int(config.sampling.get("hybrid_pc_steps", 170)),
+            sigma_cross=float(config.sampling.get("hybrid_sigma_cross", 2.0)),
+            snr=config.sampling.snr,
+            n_steps=config.sampling.n_steps_each,
+            denoise=config.sampling.noise_removal,
+            eps=eps,
+            cfg_scale=float(config.sampling.get("cfg_scale", 1.0)),
+        )
     if method == "ode":
         if float(config.sampling.get("cfg_scale", 1.0)) != 1.0:
             raise NotImplementedError(
