@@ -299,3 +299,25 @@ def test_hybrid_sampler_conditioning_clamp():
     np.testing.assert_array_equal(out[..., -1], np.asarray(v, np.float32))
     assert np.all(out[~v] == 0.0)
     assert np.abs(out[v][:, :-1]).mean() > 0.01
+
+
+def test_chunked_hybrid_matches_single_launch():
+    """chunk_size splits both hybrid phases into several launches with
+    identical math and RNG threading: same key -> same samples (phase
+    boundaries land mid-chunk: 14 does not divide ode_steps=10+pc_steps=20)."""
+    from text2protein_tpu.diffusion.ode import get_hybrid_sampler
+
+    sde = VESDE(N=100, sigma_min=0.01, sigma_max=10.0)
+    model = AnalyticGaussianScoreModel(1.0, 0.01, 10.0, 100)
+    b, n, c = 2, 8, 5
+    v = jnp.zeros((b, n, n), bool).at[:, :6, :6].set(True)
+    condition = {"length": v}
+    kwargs = dict(ode_steps=10, pc_steps=20, sigma_cross=1.0)
+    s_one = get_hybrid_sampler(sde, model, (b, n, n, c), **kwargs)
+    s_chunked = get_hybrid_sampler(sde, model, (b, n, n, c), chunk_size=14,
+                                   **kwargs)
+    out1, nfe1 = s_one({}, jax.random.PRNGKey(5), condition=condition)
+    out2, nfe2 = s_chunked({}, jax.random.PRNGKey(5), condition=condition)
+    assert nfe1 == nfe2 == 2 * 10 + 20 * 2
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=1e-5, rtol=1e-5)

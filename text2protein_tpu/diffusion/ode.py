@@ -113,7 +113,7 @@ def get_ode_sampler(sde, model, shape, num_steps=100, denoise=True, eps=1e-5,
 
 def get_hybrid_sampler(sde, model, shape, ode_steps=60, pc_steps=170,
                        sigma_cross=2.0, snr=0.17, n_steps=1, denoise=True,
-                       eps=1e-5, cfg_scale=1.0):
+                       eps=1e-5, cfg_scale=1.0, chunk_size=None):
     """ODE head + PC tail: deployment sampler recovering PC realization
     quality at a fraction of the NFE.
 
@@ -133,6 +133,12 @@ def get_hybrid_sampler(sde, model, shape, ode_steps=60, pc_steps=170,
     full-range re-discretized SDE whose step spacing equals the tail's, so
     VESDE.discretize's G = sqrt(sigma_t^2 - sigma_{t-1}^2) spans exactly
     one sampled step. NFE = 2*ode_steps + pc_steps*(n_steps+1).
+
+    `chunk_size` (scan steps per device launch) splits each phase into
+    multiple launches, like `get_pc_sampler`'s chunked variant — required
+    at N=256 where a single hybrid launch exceeds the tunnel's per-launch
+    wall-clock cap. None, or a value at least as large as both phases,
+    keeps the one-launch path.
     """
     from .sampling import get_predictor, get_corrector
 
@@ -156,8 +162,10 @@ def get_hybrid_sampler(sde, model, shape, ode_steps=60, pc_steps=170,
     corrector_cls = get_corrector("langevin")
     guided = cfg_scale != 1.0
 
-    @jax.jit
-    def sampler(params, key, condition=None, context=None, context_mask=None):
+    t_ode = jnp.linspace(sde.T, t_handoff, ode_steps + 1)
+    nfe = 2 * ode_steps + pc_steps * (n_steps + 1)
+
+    def _make_steps(params, context, context_mask, cmask, x_initial):
         base_score_fn = get_score_fn(sde, model, params, train=False)
 
         if guided and context is not None:
@@ -175,14 +183,6 @@ def get_hybrid_sampler(sde, model, shape, ode_steps=60, pc_steps=170,
             f, g = sde.sde(x, vec_t)
             return f - 0.5 * bcast(g, x.ndim) ** 2 * score_fn(x, vec_t)
 
-        key, sub = jax.random.split(key)
-        x = sde.prior_sampling(sub, shape)
-        x, cmask = apply_condition(x, condition)
-        x_initial = x
-
-        # --- ODE head: Heun over [T, t_handoff] -------------------------
-        t_ode = jnp.linspace(sde.T, t_handoff, ode_steps + 1)
-
         def ode_step(x, inp):
             t, t_next = inp
             dt = t_next - t
@@ -191,9 +191,6 @@ def get_hybrid_sampler(sde, model, shape, ode_steps=60, pc_steps=170,
             x_new = x + 0.5 * (d1 + d2) * dt
             return jnp.where(cmask, x_new, x_initial), None
 
-        x, _ = jax.lax.scan(ode_step, x, (t_ode[:-1], t_ode[1:]))
-
-        # --- PC tail: corrector + predictor over [t_handoff, eps] -------
         pred = predictor_cls(sde_tail, score_fn, False)
         corr = corrector_cls(sde_tail, score_fn, snr, n_steps)
 
@@ -207,9 +204,75 @@ def get_hybrid_sampler(sde, model, shape, ode_steps=60, pc_steps=170,
             x = jnp.where(cmask, x, x_initial)
             return (x, x_mean, key), None
 
+        return ode_step, pc_step
+
+    @jax.jit
+    def sampler(params, key, condition=None, context=None, context_mask=None):
+        key, sub = jax.random.split(key)
+        x = sde.prior_sampling(sub, shape)
+        x, cmask = apply_condition(x, condition)
+        x_initial = x
+        ode_step, pc_step = _make_steps(params, context, context_mask,
+                                        cmask, x_initial)
+
+        # --- ODE head: Heun over [T, t_handoff] -------------------------
+        x, _ = jax.lax.scan(ode_step, x, (t_ode[:-1], t_ode[1:]))
+
+        # --- PC tail: corrector + predictor over [t_handoff, eps] -------
         (x, x_mean, _), _ = jax.lax.scan(pc_step, (x, x, key), t_pc)
         x_mean = jnp.where(cmask, x_mean, x_initial)
-        nfe = 2 * ode_steps + pc_steps * (n_steps + 1)
         return (x_mean if denoise else x), nfe
 
-    return sampler
+    if chunk_size is None or (chunk_size >= ode_steps
+                              and chunk_size >= pc_steps):
+        return sampler
+
+    # --- chunked variant: same math, multiple launches per phase ---------
+    import numpy as np
+
+    @jax.jit
+    def _init(key, condition=None):
+        key, sub = jax.random.split(key)
+        x = sde.prior_sampling(sub, shape)
+        x, cmask = apply_condition(x, condition)
+        return x, cmask, key
+
+    @jax.jit
+    def _ode_chunk(params, x, t_pairs, cmask, x_initial,
+                   context=None, context_mask=None):
+        ode_step, _ = _make_steps(params, context, context_mask,
+                                  cmask, x_initial)
+        x, _ = jax.lax.scan(ode_step, x, t_pairs)
+        return x
+
+    @jax.jit
+    def _pc_chunk(params, x, x_mean, key, t_chunk, cmask, x_initial,
+                  context=None, context_mask=None):
+        _, pc_step = _make_steps(params, context, context_mask,
+                                 cmask, x_initial)
+        (x, x_mean, key), _ = jax.lax.scan(pc_step, (x, x_mean, key), t_chunk)
+        return x, x_mean, key
+
+    def chunked_sampler(params, key, condition=None, context=None,
+                        context_mask=None):
+        x, cmask, key = _init(key, condition)
+        x_initial = x
+        t0s, t1s = t_ode[:-1], t_ode[1:]
+        for i in range(0, ode_steps, chunk_size):
+            x = _ode_chunk(params, x, (t0s[i:i + chunk_size],
+                                       t1s[i:i + chunk_size]),
+                           cmask, x_initial, context, context_mask)
+            # Inter-chunk barrier via a scalar host transfer (the tunnel's
+            # block_until_ready does not guarantee completion).
+            np.asarray(x[(0,) * x.ndim])
+        x_mean = x
+        for i in range(0, pc_steps, chunk_size):
+            x, x_mean, key = _pc_chunk(params, x, x_mean, key,
+                                       t_pc[i:i + chunk_size],
+                                       cmask, x_initial, context,
+                                       context_mask)
+            np.asarray(x[(0,) * x.ndim])
+        x_mean = jnp.where(cmask, x_mean, x_initial)
+        return (x_mean if denoise else x), nfe
+
+    return chunked_sampler

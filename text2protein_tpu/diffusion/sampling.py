@@ -332,6 +332,7 @@ def get_sampling_fn(config, sde, model, shape, eps, num_steps=None,
             denoise=config.sampling.noise_removal,
             eps=eps,
             cfg_scale=float(config.sampling.get("cfg_scale", 1.0)),
+            chunk_size=chunk_size,
         )
     if method == "ode":
         if float(config.sampling.get("cfg_scale", 1.0)) != 1.0:
