@@ -321,3 +321,25 @@ def test_chunked_hybrid_matches_single_launch():
     assert nfe1 == nfe2 == 2 * 10 + 20 * 2
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_sampling_fn_factory_hybrid_with_chunking():
+    """`sampling.method: hybrid` through the config factory honors the
+    hybrid_* keys and forwards chunk_size (previously dropped)."""
+    from text2protein_tpu.config import load_config
+    from text2protein_tpu.diffusion.sampling import get_sampling_fn
+
+    config = load_config("configs/quality_l128.yml")
+    config.sampling.method = "hybrid"
+    config.sampling.hybrid_ode_steps = 6
+    config.sampling.hybrid_pc_steps = 10
+    sde = VESDE(N=100, sigma_min=0.01, sigma_max=10.0)
+    model = AnalyticGaussianScoreModel(1.0, 0.01, 10.0, 100)
+    shape = (2, 8, 8, 5)
+    s = get_sampling_fn(config, sde, model, shape, 1e-5, chunk_size=4)
+    s1 = get_sampling_fn(config, sde, model, shape, 1e-5)
+    out, nfe = s({}, jax.random.PRNGKey(2))
+    out1, nfe1 = s1({}, jax.random.PRNGKey(2))
+    assert nfe == nfe1 == 2 * 6 + 10 * 2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out1),
+                               atol=1e-5, rtol=1e-5)
