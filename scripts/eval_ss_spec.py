@@ -1,0 +1,200 @@
+"""SS block-placement SPECIFICITY eval for a trained C=8 (cond_ss) model.
+
+`scripts/eval_ss.py`'s arm (a) contrasts helicity inside GT helix blocks
+against a shuffled-SS control — but on the all-helix synthetic corpus the
+neighbouring records' blocks overlap so heavily that the control saturates
+(measured 0.985 vs 0.898: no signal). This eval decouples specificity from
+corpus homogeneity with two placement-sensitive measurements on the SAME
+trained model:
+
+  (1) in-vs-out: sample under each record's TRUE SS maps; helicity INSIDE
+      the conditioned helix blocks must far exceed helicity in the loop
+      gaps OUTSIDE every block (positions within L, blocks dilated by 2 to
+      exclude edge ambiguity).
+  (2) shifted blocks: rebuild the SS channels with every block moved +8
+      residues (rows/cols of the pair maps shifted together, no wrap) and
+      sample under the SHIFTED condition. If the model reads block
+      placement, helicity inside the shifted spans stays high while the
+      vacated positions (inside a GT span but outside every shifted span)
+      drop toward loop levels.
+
+Reference context: the SS channels are the P-SEA block pair-maps of
+`/root/reference/dataset.py:114-168` (here `data/ss.get_coarse_constraints`);
+the sampler clamp contract is `score_sde_pytorch/sampling.py:260-277`.
+
+Writes reports/quality_ss_spec.json.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SHIFT = 8
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", type=str, required=True)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--out", type=str, default="reports/quality_ss_spec.json")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from text2protein_tpu.config import load_config
+    from text2protein_tpu.conditioning import length_mask
+    from text2protein_tpu.data import load_record
+    from text2protein_tpu.data.ss import parse_ss_spans
+    from text2protein_tpu.diffusion import get_sde
+    from text2protein_tpu.diffusion.sampling import get_sampling_fn, pick_chunk
+    from text2protein_tpu.eval.helix_count import helix_flags
+    from text2protein_tpu.models import build_model
+    from text2protein_tpu.text import build_text_encoder
+    from text2protein_tpu.training import CheckpointManager, create_train_state
+
+    workdir = Path(args.workdir)
+    config = load_config(str(workdir / "config.yml"))
+    processed = Path(config.data.processed_dataset_path)
+    n = config.data.max_res_num
+    c = config.data.num_channels
+    assert c == 8, "needs a C=8 (cond_ss) model"
+    bs = args.batch
+
+    test_ids = [l.strip()
+                for l in (workdir / "test_ids.txt").read_text().splitlines()
+                if l.strip()]
+    records = []
+    for tid in test_ids:
+        path = processed / f"{tid}.npz"
+        if path.exists():
+            rec = load_record(path)
+            rec["id"] = tid
+            records.append(rec)
+    assert records, "no test records"
+
+    sde, eps = get_sde(config)
+    model = build_model(config)
+    encoder = build_text_encoder(config)
+    emb0, emb_mask0 = encoder.encode([""] * bs)
+    init_batch = {
+        "coords_6d": jnp.zeros((bs, n, n, c), jnp.float32),
+        "mask_pair": jnp.zeros((bs, n, n), bool),
+        "ss_spans": jnp.full((bs, 32, 2), -1, jnp.int32),
+        "length": jnp.full((bs,), 64, jnp.int32),
+        "context": jnp.asarray(emb0),
+        "context_mask": jnp.asarray(emb_mask0),
+    }
+    state = CheckpointManager(workdir).restore_any(
+        create_train_state(config, model, jax.random.PRNGKey(0), init_batch),
+        args.checkpoint,
+    )
+    step_trained = int(np.asarray(state.step))
+    print(f"restored step {step_trained}")
+    params = state.ema.params
+    sampler = get_sampling_fn(
+        config, sde, model, (bs, n, n, c), eps,
+        num_steps=args.steps, chunk_size=pick_chunk(args.steps, 500),
+    )
+
+    recs = [records[i % len(records)] for i in range(bs)]
+    gts, lengths_np, spans_all = [], [], []
+    for r in recs:
+        L = r["coords"].shape[0]
+        g = np.zeros((n, n, c), np.float32)
+        g[:L, :L, :] = r["coords_6d"][:, :L, :L].transpose(1, 2, 0)
+        gts.append(g)
+        lengths_np.append(L)
+        sp = parse_ss_spans(r.get("ss_indices", ""), 32)
+        spans_all.append([(int(s), int(e)) for s, e in sp if s >= 0])
+    lengths = jnp.asarray(lengths_np, jnp.int32)
+    ss_true = np.stack([g[..., 4:7] for g in gts])
+
+    # shifted SS maps: every block +SHIFT residues, rows and cols together
+    ss_shift = np.zeros_like(ss_true)
+    for j, L in enumerate(lengths_np):
+        ss_shift[j, SHIFT:L, SHIFT:L] = ss_true[j, : L - SHIFT, : L - SHIFT]
+    spans_shift = [
+        [(s + SHIFT, min(e + SHIFT, L)) for s, e in sp
+         if s + SHIFT < L - 4 and min(e + SHIFT, L) - (s + SHIFT) >= 5]
+        for sp, L in zip(spans_all, lengths_np)
+    ]
+
+    def sample_batch(ss_maps, key):
+        emb, emb_mask = encoder.encode([r.get("caption", "") for r in recs])
+        cond = {"length": length_mask(lengths, n),
+                "ss": jnp.asarray(ss_maps)}
+        out, _ = sampler(params, key, condition=cond,
+                         context=jnp.asarray(emb),
+                         context_mask=jnp.asarray(emb_mask))
+        return np.asarray(out)
+
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2 = jax.random.split(key)
+    t0 = time.time()
+    samp_true = sample_batch(ss_true, k1)
+    samp_shift = sample_batch(ss_shift, k2)
+    print(f"sampled 2x{bs} in {time.time() - t0:.0f}s")
+
+    def flags_of(sample_nhwc, L):
+        return helix_flags(sample_nhwc.transpose(2, 0, 1), L)
+
+    def pos_in_spans(spans, L):
+        m = np.zeros(L, bool)
+        for s, e in spans:
+            m[s:e] = True
+        return m
+
+    in_true, out_true, in_shift, vacated = [], [], [], []
+    for j, L in enumerate(lengths_np):
+        ft = flags_of(samp_true[j], L)   # length L-4: d(i, i+4) flags
+        fs = flags_of(samp_shift[j], L)
+        nf = len(ft)
+
+        m_true = pos_in_spans(spans_all[j], L)[:nf]
+        m_shift = pos_in_spans(spans_shift[j], L)[:nf]
+        # dilate the given blocks by 2 before calling a position "outside"
+        dil = np.convolve(pos_in_spans(spans_all[j], L).astype(int),
+                          np.ones(5, int), "same")[:nf] > 0
+
+        if m_true.any():
+            in_true.append(float(np.mean(ft[m_true])))
+        if (~dil).any():
+            out_true.append(float(np.mean(ft[~dil])))
+
+        sel_vac = m_true & ~m_shift
+        if m_shift.any():
+            in_shift.append(float(np.mean(fs[m_shift])))
+        if sel_vac.any():
+            vacated.append(float(np.mean(fs[sel_vac])))
+
+    report = {
+        "workdir": str(workdir),
+        "trained_steps": step_trained,
+        "pc_steps": args.steps,
+        "num_designs": bs,
+        "shift_residues": SHIFT,
+        "helicity_in_true_blocks": round(float(np.mean(in_true)), 4),
+        "helicity_outside_blocks": round(float(np.mean(out_true)), 4),
+        "helicity_in_shifted_blocks": round(float(np.mean(in_shift)), 4),
+        "helicity_vacated_positions": round(float(np.mean(vacated)), 4),
+        "platform": jax.devices()[0].platform,
+    }
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

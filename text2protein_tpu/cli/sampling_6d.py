@@ -31,6 +31,10 @@ def build_argparser():
     p.add_argument("--length_index", type=int, default=1)  # 1-based
     p.add_argument("--num_steps", type=int, default=None,
                    help="override num_scales PC steps (faster schedules)")
+    p.add_argument("--sampler", type=str, default=None,
+                   choices=["pc", "ode", "hybrid"],
+                   help="override config sampling.method (hybrid = ODE-head "
+                        "+ PC-tail deployment sampler, NFE 460)")
     p.add_argument("--processed_dir", type=str, default=None,
                    help="processed records dir for test-set captions")
     return p
@@ -99,8 +103,16 @@ def main(argv=None):
     params = state.ema.params  # EMA weights, like ema.copy_to in the reference
     print(f"restored step {int(state.step)} from {ckpt_path}")
 
-    sampling_fn = get_sampling_fn(config, sde, model, shape, sampling_eps,
-                                  num_steps=args.num_steps)
+    if args.sampler:
+        config.sampling.method = args.sampler
+    from ..diffusion.sampling import pick_chunk
+
+    # keep every device launch under the platform's wall-clock cap (N=256
+    # trajectories need much smaller chunks than L=128)
+    n_traj = args.num_steps or sde.N
+    sampling_fn = get_sampling_fn(
+        config, sde, model, shape, sampling_eps, num_steps=args.num_steps,
+        chunk_size=pick_chunk(n_traj, 100 if n >= 256 else 500))
 
     captions = load_test_captions(ckpt_path, args.processed_dir)
     if not captions:
