@@ -34,6 +34,12 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ss_constraints", action="store_true",
                    help="C=8 records with SS block channels")
+    p.add_argument("--vary_placement", action="store_true",
+                   help="randomize per-helix segment lengths so SS block "
+                        "PLACEMENT varies at fixed (L, n_helices) — required "
+                        "for a corpus that can teach placement steering "
+                        "(reports/quality_ss_spec.json measured it "
+                        "unlearnable from the equal-split corpus)")
     p.add_argument("--decorrelate_helices", action="store_true",
                    help="sample the helix count per record independently of "
                         "L (valid_helix_counts) so the caption's helix count "
@@ -69,7 +75,8 @@ def main():
         else:
             n_hels = [default_n_helices(L)] * n_here
         t1 = time.time()
-        bbs = helix_bundle_backbones(L, seeds, n_helices=n_hels)
+        bbs = helix_bundle_backbones(L, seeds, n_helices=n_hels,
+                                     vary_placement=args.vary_placement)
         print(f"L={L}: built {n_here} backbones in {time.time() - t1:.1f}s "
               f"(helix counts {sorted(set(n_hels))})")
         for j, bb in enumerate(bbs):

@@ -156,6 +156,39 @@ def test_featurize_structure_ss_channels():
     assert set(np.unique(c6d[4:7])) <= {0.0, 1.0}
 
 
+def test_vary_placement_randomizes_block_boundaries():
+    """--vary_placement must vary SS block placement at fixed (L, n_helices)
+    — the equal-split default makes placement deterministic, which made
+    placement steering unlearnable (reports/quality_ss_spec.json)."""
+    from text2protein_tpu.data.synthetic import (
+        _HELIX_PHI,
+        helix_bundle_torsions,
+    )
+
+    L, nh = 96, 4
+
+    def helix_mask(seed, vary):
+        phi, _ = helix_bundle_torsions(L, seed=seed, n_helices=nh,
+                                       jitter_deg=0.0, vary_placement=vary)
+        assert len(phi) == L
+        return np.isclose(phi, np.deg2rad(_HELIX_PHI), atol=1e-6)
+
+    fixed = [helix_mask(s, False) for s in range(4)]
+    varied = [helix_mask(s, True) for s in range(4)]
+    # equal split: same placement for every seed
+    for m in fixed[1:]:
+        np.testing.assert_array_equal(fixed[0], m)
+    # varied split: at least 3 of 4 seeds differ from the equal split
+    n_diff = sum(not np.array_equal(v, fixed[0]) for v in varied)
+    assert n_diff >= 3, n_diff
+    # segments stay >= 5 residues: runs of consecutive helix flags
+    for v in varied:
+        runs = np.diff(np.flatnonzero(np.diff(
+            np.concatenate([[0], v.astype(int), [0]]))).reshape(-1, 2),
+            axis=1)
+        assert (runs >= 5).all(), runs.T
+
+
 def _import_reference_dataset():
     """Import the reference's dataset.py itself (biotite stubbed — the 6D
     math never touches it). This closes the self-written-oracle gap: the

@@ -49,12 +49,20 @@ def valid_helix_counts(L: int) -> list[int]:
 
 
 def helix_bundle_torsions(L: int, seed: int = 0, n_helices: int | None = None,
-                          jitter_deg: float = 3.0):
+                          jitter_deg: float = 3.0,
+                          vary_placement: bool = False):
     """(phi, psi) in radians for a compact L-residue helix bundle.
 
     Helix segments use canonical torsions; turns are drawn from the searched
     turn table; everything gets a small jitter so different seeds give
     different (but still compact) structures.
+
+    `vary_placement` randomizes the per-helix segment lengths (>=5 residues
+    each) instead of the default equal split. Without it, block placement is
+    a deterministic function of (L, n_helices) across the corpus, so an
+    SS-conditioned model can never learn to READ placement from the SS
+    channels (measured: reports/quality_ss_spec.json) — any corpus meant to
+    train placement steering must set this.
     """
     rng = np.random.RandomState(seed)
     if n_helices is None:
@@ -64,12 +72,19 @@ def helix_bundle_torsions(L: int, seed: int = 0, n_helices: int | None = None,
         # under-determine the fold
         n_helices = default_n_helices(L)
     n_turn = 4
-    seg = (L - (n_helices - 1) * n_turn) // n_helices
+    total_seg = L - (n_helices - 1) * n_turn
+    if vary_placement:
+        # random composition of total_seg into n_helices parts, each >= 5
+        min_seg = 5
+        free = max(total_seg - n_helices * min_seg, 0)
+        cuts = np.sort(rng.randint(0, free + 1, n_helices - 1))
+        parts = np.diff(np.concatenate([[0], cuts, [free]]))
+        seg_lens = [min_seg + int(p) for p in parts]
+    else:
+        seg_lens = [total_seg // n_helices] * n_helices
     phi, psi = [], []
     for h in range(n_helices):
-        n_seg = seg if h < n_helices - 1 else (
-            L - len(phi) - (n_helices - 1 - h) * (seg + n_turn)
-        )
+        n_seg = seg_lens[h] if h < n_helices - 1 else (L - len(phi))
         phi += [_HELIX_PHI] * n_seg
         psi += [_HELIX_PSI] * n_seg
         if h < n_helices - 1:
@@ -170,7 +185,8 @@ def helix_bundle_backbone(L: int, seed: int = 0, n_candidates: int = 12,
 
 def helix_bundle_backbones(L: int, seeds, n_candidates: int = 12,
                            compact: bool | None = None,
-                           compact_iters: int = 300, n_helices=None):
+                           compact_iters: int = 300, n_helices=None,
+                           vary_placement: bool = False):
     """Batched (len(seeds), L, 3, 3) helix-bundle backbones of equal length.
 
     Same selection + compaction as `helix_bundle_backbone`, but the NeRF
@@ -195,7 +211,8 @@ def helix_bundle_backbones(L: int, seeds, n_candidates: int = 12,
     for s, nh in zip(seeds, n_helices):
         for k in range(n_candidates):
             phi, psi = helix_bundle_torsions(L, seed=s + 1000 * k,
-                                             n_helices=nh)
+                                             n_helices=nh,
+                                             vary_placement=vary_placement)
             phis.append(phi)
             psis.append(psi)
     build = jax.jit(jax.vmap(build_backbone))
