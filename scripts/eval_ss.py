@@ -145,9 +145,16 @@ def main():
 
     # helicity inside conditioned helix blocks, vs a shuffled-SS control:
     # record j sampled under record j-1's SS maps (still in-distribution for
-    # a [length, ss, ...] model — only the block placement is wrong)
+    # a [length, ss, ...] model — only the block placement is wrong). The
+    # rolled maps must be zeroed outside record j's own LxL square: the
+    # length clamp zeroes every other channel there, so leaving record
+    # j-1's blocks beyond L_j would clamp SS=1 on padding — an
+    # out-of-distribution state that would bias the control downward.
+    sq = np.zeros((bs, n, n, 1), np.float32)
+    for j, (_, L) in enumerate(gts):
+        sq[j, :L, :L, 0] = 1.0
     cond_shuf = {"length": length_mask(lengths, n),
-                 "ss": jnp.roll(ss_cond, 1, axis=0)}
+                 "ss": jnp.roll(ss_cond, 1, axis=0) * jnp.asarray(sq)}
     samp_len = sample_batch(recs, cond_shuf, k2)
 
     def block_helicity(sample_nhwc, rec, L):

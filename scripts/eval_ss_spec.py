@@ -177,16 +177,21 @@ def main():
         if sel_vac.any():
             vacated.append(float(np.mean(fs[sel_vac])))
 
+    def _mean(xs):
+        # None (JSON null) rather than NaN when an arm collected no data —
+        # json.dump would emit the non-standard NaN token otherwise
+        return round(float(np.mean(xs)), 4) if xs else None
+
     report = {
         "workdir": str(workdir),
         "trained_steps": step_trained,
         "pc_steps": args.steps,
         "num_designs": bs,
         "shift_residues": SHIFT,
-        "helicity_in_true_blocks": round(float(np.mean(in_true)), 4),
-        "helicity_outside_blocks": round(float(np.mean(out_true)), 4),
-        "helicity_in_shifted_blocks": round(float(np.mean(in_shift)), 4),
-        "helicity_vacated_positions": round(float(np.mean(vacated)), 4),
+        "helicity_in_true_blocks": _mean(in_true),
+        "helicity_outside_blocks": _mean(out_true),
+        "helicity_in_shifted_blocks": _mean(in_shift),
+        "helicity_vacated_positions": _mean(vacated),
         "platform": jax.devices()[0].platform,
     }
     out = Path(args.out)

@@ -45,7 +45,10 @@ def main():
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--sampler", type=str, default="pc", choices=["pc", "ode", "hybrid"],
                    help="pc = reference predictor-corrector chain; ode = "
-                        "Heun probability-flow (few-NFE deployment path)")
+                        "Heun probability-flow (draft mode); hybrid = ODE "
+                        "head + PC tail deployment sampler (--steps is "
+                        "ignored: phase lengths come from "
+                        "sampling.hybrid_{ode,pc}_steps, NFE 460 default)")
     p.add_argument("--out", type=str, default="reports/quality_10k.json")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
@@ -126,9 +129,11 @@ def main():
 
     if args.sampler in ("ode", "hybrid"):
         config.sampling.method = args.sampler
+    # hybrid ignores num_steps (phase lengths live in the config)
+    steps_arg = None if args.sampler == "hybrid" else args.steps
     sampler = get_sampling_fn(
         config, sde, model, (bs, n, n, c), eps,
-        num_steps=args.steps,
+        num_steps=steps_arg,
         chunk_size=pick_chunk(args.steps, 500),
     )
     designs = []  # (record, sample_cnn)
@@ -236,7 +241,9 @@ def main():
         "workdir": str(workdir),
         "trained_steps": step_trained,
         "num_designs": len(designs),
-        "pc_steps": args.steps,
+        "sampler": args.sampler,
+        # hybrid's trajectory length is fixed by the config, not --steps
+        "pc_steps": None if args.sampler == "hybrid" else args.steps,
         "nfe": int(nfe),
         "sample_time_s": round(sample_time, 1),
         "realize_time_s": round(realize_time, 1),

@@ -343,3 +343,56 @@ def test_sampling_fn_factory_hybrid_with_chunking():
     assert nfe == nfe1 == 2 * 6 + 10 * 2
     np.testing.assert_allclose(np.asarray(out), np.asarray(out1),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_chunked_ode_matches_single_launch():
+    """get_ode_sampler's chunk_size splits the Heun trajectory (and runs the
+    final Langevin + Tweedie in a last launch) with identical math and RNG
+    threading; the chunk is snapped to a divisor of num_steps."""
+    from text2protein_tpu.diffusion.ode import get_ode_sampler
+
+    sde = VESDE(N=100, sigma_min=0.01, sigma_max=10.0)
+    model = AnalyticGaussianScoreModel(1.0, 0.01, 10.0, 100)
+    b, n, c = 2, 8, 5
+    v = jnp.zeros((b, n, n), bool).at[:, :6, :6].set(True)
+    condition = {"length": v}
+    kwargs = dict(num_steps=20, final_langevin=3)
+    s_one = get_ode_sampler(sde, model, (b, n, n, c), **kwargs)
+    # 7 is not a divisor of 20 -> snapped to 5 by pick_chunk
+    s_chunked = get_ode_sampler(sde, model, (b, n, n, c), chunk_size=7,
+                                **kwargs)
+    out1, nfe1 = s_one({}, jax.random.PRNGKey(4), condition=condition)
+    out2, nfe2 = s_chunked({}, jax.random.PRNGKey(4), condition=condition)
+    assert nfe1 == nfe2 == 2 * 20 + 3 + 1
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_hybrid_cfg_doubles_nfe():
+    """Under classifier-free guidance every hybrid score eval calls the model
+    twice, so the reported NFE must double (get_pc_sampler's convention)."""
+    from text2protein_tpu.diffusion.ode import get_hybrid_sampler
+
+    s0, mu, w = 0.5, 2.0, 2.0
+    sde = VESDE(N=200, sigma_min=0.01, sigma_max=20.0)
+    model = ContextShiftedGaussianScoreModel(s0, 0.01, 20.0, 200)
+    shape = (16, 8, 8, 2)
+    context = jnp.full((16, 4, 8), mu)
+    kwargs = dict(ode_steps=10, pc_steps=20, sigma_cross=1.0)
+
+    guided = get_hybrid_sampler(sde, model, shape, cfg_scale=w, **kwargs)
+    out, nfe = guided({}, jax.random.PRNGKey(0), context=context)
+    assert nfe == (2 * 10 + 20 * 2) * 2
+    assert abs(np.asarray(out).mean() - w * mu) < 0.2
+
+    # without context, guidance (and the NFE doubling) is inactive
+    out0, nfe0 = guided({}, jax.random.PRNGKey(0))
+    assert nfe0 == 2 * 10 + 20 * 2
+
+    # the chunked variant reports the same guided NFE
+    chunked = get_hybrid_sampler(sde, model, shape, cfg_scale=w,
+                                 chunk_size=8, **kwargs)
+    outc, nfec = chunked({}, jax.random.PRNGKey(0), context=context)
+    assert nfec == (2 * 10 + 20 * 2) * 2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(outc),
+                               atol=1e-5, rtol=1e-5)

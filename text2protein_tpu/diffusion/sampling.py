@@ -322,6 +322,14 @@ def get_sampling_fn(config, sde, model, shape, eps, num_steps=None,
     if method == "hybrid":
         from .ode import get_hybrid_sampler
 
+        if num_steps is not None:
+            import warnings
+
+            warnings.warn(
+                "sampling.method=hybrid ignores num_steps — phase lengths "
+                "come from sampling.hybrid_ode_steps/hybrid_pc_steps; the "
+                "sampler's returned NFE reflects the actual trajectory",
+                stacklevel=2)
         return get_hybrid_sampler(
             sde, model, shape,
             ode_steps=int(config.sampling.get("hybrid_ode_steps", 60)),
@@ -346,6 +354,7 @@ def get_sampling_fn(config, sde, model, shape, eps, num_steps=None,
             denoise=config.sampling.noise_removal, eps=eps,
             final_langevin=int(config.sampling.get("ode_final_langevin", 10)),
             snr=config.sampling.snr,
+            chunk_size=chunk_size,
         )
     n = num_steps or sde.N
     if chunk_size is None and n > 1000 and n % 1000 == 0:
