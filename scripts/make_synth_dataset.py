@@ -40,12 +40,22 @@ def main():
                         "for a corpus that can teach placement steering "
                         "(reports/quality_ss_spec.json measured it "
                         "unlearnable from the equal-split corpus)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu) — generation is "
+                        "device-batched and the default backend wins "
+                        "otherwise; cpu takes ~43 s/structure on this host "
+                        "so only use it for tiny corpora")
     p.add_argument("--decorrelate_helices", action="store_true",
                    help="sample the helix count per record independently of "
                         "L (valid_helix_counts) so the caption's helix count "
                         "carries information length alone cannot — the "
                         "text-conditioning corpus (VERDICT r2 #1)")
     args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from text2protein_tpu.data.dataset import save_record
     from text2protein_tpu.data.featurize import featurize_structure
