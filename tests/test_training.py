@@ -227,3 +227,42 @@ def test_checkpoint_meta_recovers_mid_swap_states(tmp_path):
     # a later successful save supersedes all survivors
     mgr.save_meta(state1)
     assert int(mgr.restore_meta(template).step) == 1
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.environ.get("T2P_SLOW_TESTS"),
+    reason="~7 min on the 1-core host even warm-cache (SPMD partitioning "
+           "of the N=256 grid); run with T2P_SLOW_TESTS=1",
+)
+def test_sp_long_context_n256():
+    """Long-context scaling (SURVEY.md §5): a residue grid 2x the flagship
+    (N=256 -> 256x256 pair maps, 4x the cells) trains with the row axis
+    sharded over 'model' (sequence-parallel analog). XLA SPMD inserts the
+    conv halo exchanges; loss must be finite and the grid inputs actually
+    sharded. This is the scaling path the reference lacks entirely — its
+    AttnBlockpp materializes the full (HW)^2 logits on one device
+    (`/root/reference/score_sde_pytorch/models/layers.py:167-171`)."""
+    config = tiny_config(data={"max_res_num": 256, "min_res_num": 192},
+                         model={"attn_resolutions": []})
+    sde, _ = get_sde(config)
+    model = build_model(config)
+    batch = tiny_batch(config, b=2)
+    state = create_train_state(config, model, jax.random.PRNGKey(0), batch)
+
+    mesh = make_mesh(data=2, model=4)
+    state_sp = shard_train_state(state, mesh)
+    batch_sp = shard_batch(mesh, batch, shard_grid=True)
+    # the row axis of the pair grid must be split over 'model'
+    shard_shapes = {s.data.shape
+                    for s in batch_sp["coords_6d"].addressable_shards}
+    assert shard_shapes == {(1, 64, 256, 5)}, shard_shapes
+
+    step_sp = make_train_step(config, sde, model, mesh=mesh, donate=False,
+                              shard_grid=True)
+    state_sp, loss = step_sp(state_sp, batch_sp, jax.random.PRNGKey(5))
+    assert np.isfinite(float(loss)), float(loss)
+    assert int(state_sp.step) == 1
