@@ -209,3 +209,33 @@ def test_pdb_mask_conditioning_cli(workspace, trained, monkeypatch):
     with pytest.raises(AssertionError):
         sample_main([str(cfg2), str(ckpt), "--pdb", str(pdb_path),
                      "--select_length"])
+
+
+def test_cli_sampler_hybrid(workspace, trained, monkeypatch):
+    """The deployment sampler through the CLI: --sampler hybrid overrides
+    sampling.method, phase lengths come from the config's hybrid_* keys
+    (num_steps is ignored by design), and the sampled maps keep the CLI's
+    (B, C, N, N) pickle contract."""
+    root, cfg_path = workspace
+    monkeypatch.chdir(root)
+    import yaml
+
+    cfg = yaml.safe_load(cfg_path.read_text())
+    cfg.setdefault("sampling", {}).update(
+        hybrid_ode_steps=4, hybrid_pc_steps=6, hybrid_sigma_cross=2.0)
+    cfg2 = root / "tiny_hybrid.yml"
+    cfg2.write_text(yaml.safe_dump(cfg))
+
+    from text2protein_tpu.cli.sampling_6d import main as sample_main
+
+    ckpt = trained / "checkpoints" / "best_eval"
+    out_dir = sample_main([
+        str(cfg2), str(ckpt), "--batch_size", "2", "--sampler", "hybrid",
+        "--processed_dir", str(root / "processed"), "--tag", "hybrid",
+    ])
+    pkls = sorted(out_dir.glob("sampled_*.pkl"))
+    assert pkls, "no samples written"
+    with open(pkls[0], "rb") as f:
+        sample = pickle.load(f)
+    assert sample.shape[1] == 5 and sample.shape[2] == 16
+    assert np.isfinite(sample).all()
