@@ -51,9 +51,16 @@ def main():
                         "sampling.hybrid_{ode,pc}_steps, NFE 460 default)")
     p.add_argument("--out", type=str, default="reports/quality_10k.json")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu) — the default "
+                        "backend wins otherwise, and a dead TPU tunnel "
+                        "hangs backend init")
     args = p.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from text2protein_tpu.config import load_config
@@ -131,10 +138,15 @@ def main():
         config.sampling.method = args.sampler
     # hybrid ignores num_steps (phase lengths live in the config)
     steps_arg = None if args.sampler == "hybrid" else args.steps
+    # keep each device launch under the tunnel's wall-clock cap; N=256
+    # trajectories need much smaller chunks than L=128 (CLAUDE.md)
+    chunk_target = 100 if n >= 256 else 500
+    chunk = (chunk_target if args.sampler == "hybrid"
+             else pick_chunk(args.steps, chunk_target))
     sampler = get_sampling_fn(
         config, sde, model, (bs, n, n, c), eps,
         num_steps=steps_arg,
-        chunk_size=pick_chunk(args.steps, 500),
+        chunk_size=chunk,
     )
     designs = []  # (record, sample_cnn)
     t0 = time.time()
