@@ -46,9 +46,16 @@ def main():
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--out", type=str, default="reports/quality_ss_spec.json")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu); the default "
+                        "backend wins otherwise")
     args = p.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
     import jax.numpy as jnp
 
     from text2protein_tpu.config import load_config

@@ -63,9 +63,16 @@ def main():
     p.add_argument("--cfg_scale", type=float, default=1.0,
                    help="classifier-free guidance scale (needs a model "
                         "trained with model.context_dropout > 0)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu); the default "
+                        "backend wins otherwise")
     args = p.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
     import jax.numpy as jnp
 
     from text2protein_tpu.config import load_config
