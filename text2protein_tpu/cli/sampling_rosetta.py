@@ -43,6 +43,12 @@ def build_argparser():
                    help="learned = trained inverse-folding head (45%% native "
                         "recovery on the corpus benchmark); physics = "
                         "zero-shot knowledge-based Potts design")
+    p.add_argument("--fastrelax", action="store_true", default=True,
+                   help="CA-restrained relax round on the best pose "
+                        "(`/root/reference/rosetta_min/run.py:180-232`); ON "
+                        "by default here (the reference defaults off)")
+    p.add_argument("--no_fastrelax", dest="fastrelax", action="store_false",
+                   help="skip the final relax round")
     return p
 
 
@@ -117,7 +123,7 @@ def main(argv=None):
                 npz, seq, outPath=run_dir, seed=n,
                 n_restarts=args.n_restarts, max_iter=args.max_iter,
                 angle_std=args.angle_std, dist_std=args.dist_std,
-                pose_bb=pose_bb,
+                pose_bb=pose_bb, use_fastrelax=args.fastrelax,
             )
             scores[f"round_{n + 1}"] = {
                 "total_energy": float(e_best),
@@ -164,11 +170,17 @@ def main(argv=None):
             if link.is_symlink() or link.exists():
                 link.unlink()
             link.symlink_to(best_run.name)
-            # final structure alias (`sampling_rosetta.py:100`); with
-            # --fastdesign the designed structure is the product
-            final = best_run / ("structure_after_design.pdb"
-                                if args.fastdesign
-                                else "structure_before_design.pdb")
+            # final structure alias (`sampling_rosetta.py:100,127`):
+            # fastrelax's final_structure.pdb wins, else the designed
+            # structure, else the minimized backbone
+            candidates = ["structure_before_design.pdb"]
+            if args.fastdesign:
+                candidates.insert(0, "structure_after_design.pdb")
+            if args.fastrelax:
+                candidates.insert(0, "final_structure.pdb")
+            final = next((best_run / c for c in candidates
+                          if (best_run / c).exists()),
+                         best_run / candidates[-1])
             if final.exists():
                 (out_path / f"rosetta_{pdb_id}.pdb").write_bytes(
                     final.read_bytes()
