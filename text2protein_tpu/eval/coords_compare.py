@@ -73,3 +73,33 @@ def coord_compare(sample_dir, gt_dir, out_path=None) -> dict:
         with open(out_path, "w") as f:
             yaml.safe_dump(stats, f)
     return stats
+
+
+def main(argv=None):
+    """CLI mirror of the reference script (`/root/reference/
+    coords_compare.py:62-63` runs coord_compare() as __main__): compare a
+    directory of sampled_*.pkl maps to ground-truth records and write the
+    aggregate yaml next to the sample dir."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="6D-map MSE: sampled_*.pkl vs ground-truth records")
+    p.add_argument("sample_dir", type=str)
+    p.add_argument("gt_dir", type=str,
+                   help="processed records dir (.npz or reference .pt)")
+    p.add_argument("--out", type=str, default=None,
+                   help="output yaml (default: <sample_dir>/../"
+                        "coords_6d_losses.yaml, the reference's name)")
+    args = p.parse_args(argv)
+
+    out = args.out or str(
+        Path(args.sample_dir).parent / "coords_6d_losses.yaml")
+    stats = coord_compare(args.sample_dir, args.gt_dir, out_path=out)
+    print(f"{stats['count']} pairs  avg={stats['avg']:.5f} "
+          f"min={stats['min']:.5f} max={stats['max']:.5f} "
+          f"std={stats['std']:.5f} -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    main()
