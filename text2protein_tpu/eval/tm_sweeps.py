@@ -127,3 +127,52 @@ def reu_stats(score_files):
         "max": float(np.max(vals)),
         "std": float(np.std(vals)),
     }
+
+
+def main(argv=None):
+    """CLI mirror of the reference sweep script (`/root/reference/tm/
+    TMalign.py:243-245` runs train_gen_tm_compare as __main__): TM-score a
+    directory of designed PDBs against a reference set.
+
+    --mode novelty: every design vs every reference (training-set novelty).
+    --mode gt: each design vs the same-stem file in --refs (quality sweep
+    with >0.5/>0.4/>0.3 buckets, `TMalign.py:162-240`)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="TM-score sweeps")
+    p.add_argument("--mode", type=str, default="novelty",
+                   choices=["novelty", "gt"])
+    p.add_argument("--designed", type=str, required=True,
+                   help="directory of designed *.pdb")
+    p.add_argument("--refs", type=str, required=True,
+                   help="reference *.pdb directory (train set or GT)")
+    p.add_argument("--out", type=str, default="tm-scores.json")
+    p.add_argument("--max_train", type=int, default=100)
+    p.add_argument("--no_native", action="store_true",
+                   help="use the Python TM-score instead of native/tmalign")
+    args = p.parse_args(argv)
+
+    designed = sorted(Path(args.designed).glob("*.pdb"))
+    refs = sorted(Path(args.refs).glob("*.pdb"))
+    assert designed, f"no *.pdb under {args.designed}"
+    assert refs, f"no *.pdb under {args.refs}"
+    use_native = not args.no_native
+
+    if args.mode == "novelty":
+        out = train_gen_tm_compare(designed, refs, out_path=args.out,
+                                   max_train=args.max_train,
+                                   use_native=use_native)
+    else:
+        by_stem = {p.stem: p for p in refs}
+        pairs = [(d.stem, d, by_stem[d.stem]) for d in designed
+                 if d.stem in by_stem]
+        assert pairs, "no designed/ref stem matches for --mode gt"
+        out = gt_gen_tm_compare(pairs, out_path=args.out,
+                                use_native=use_native)
+    print(json.dumps({k: v for k, v in out.items()
+                      if not isinstance(v, dict)}, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    main()
