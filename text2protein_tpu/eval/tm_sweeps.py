@@ -141,17 +141,31 @@ def main(argv=None):
 
     p = argparse.ArgumentParser(description="TM-score sweeps")
     p.add_argument("--mode", type=str, default="novelty",
-                   choices=["novelty", "gt"])
+                   choices=["novelty", "gt", "reu"])
     p.add_argument("--designed", type=str, required=True,
-                   help="directory of designed *.pdb")
-    p.add_argument("--refs", type=str, required=True,
-                   help="reference *.pdb directory (train set or GT)")
+                   help="directory of designed *.pdb (novelty/gt) or a "
+                        "realization out_root containing score.txt yamls "
+                        "(reu)")
+    p.add_argument("--refs", type=str, default=None,
+                   help="reference *.pdb directory (train set or GT); "
+                        "required for novelty/gt")
     p.add_argument("--out", type=str, default="tm-scores.json")
     p.add_argument("--max_train", type=int, default=100)
     p.add_argument("--no_native", action="store_true",
                    help="use the Python TM-score instead of native/tmalign")
     args = p.parse_args(argv)
 
+    if args.mode == "reu":
+        # REU aggregation over per-round score.txt yamls
+        # (`/root/reference/play.py:63-86`)
+        files = sorted(Path(args.designed).rglob("score.txt"))
+        out = reu_stats(files)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=4)
+        print(json.dumps(out, indent=2))
+        return 0
+
+    assert args.refs, "--refs is required for novelty/gt"
     designed = sorted(Path(args.designed).glob("*.pdb"))
     refs = sorted(Path(args.refs).glob("*.pdb"))
     assert designed, f"no *.pdb under {args.designed}"
