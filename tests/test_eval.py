@@ -128,3 +128,81 @@ def test_tm_score_shifted_fragment():
     # fragment vs full, normalized by fragment length
     tm2 = tm_score(ca, frag, l_target=len(frag))
     assert tm2 > 0.9, tm2
+
+
+def _bb_from_ca(ca):
+    """Fake (L,3,3) N/CA/C backbone around a CA trace for PDB writing."""
+    bb = np.zeros((len(ca), 3, 3), np.float32)
+    bb[:, 1] = ca
+    bb[:, 0] = ca + np.array([-1.2, 0.3, 0.0])
+    bb[:, 2] = ca + np.array([1.2, -0.3, 0.0])
+    return bb
+
+
+def test_tm_sweeps_cli_modes(tmp_path):
+    """The runnable sweep surface (reference tm/TMalign.py:243-245 role):
+    gt mode buckets same-stem pairs, novelty mode sweeps all-vs-all, reu
+    mode aggregates score.txt yamls."""
+    import json
+    import yaml
+
+    from text2protein_tpu.data.pdbio import write_backbone_pdb
+    from text2protein_tpu.eval.tm_sweeps import main as sweeps_main
+
+    ddir, rdir = tmp_path / "designed", tmp_path / "refs"
+    ddir.mkdir(), rdir.mkdir()
+    ca = make_ca_trace(40, seed=1)
+    write_backbone_pdb(ddir / "x.pdb", _bb_from_ca(ca))
+    q, t = random_rt(3)
+    write_backbone_pdb(rdir / "x.pdb", _bb_from_ca(ca @ q.T + t))
+
+    out = tmp_path / "gt.json"
+    assert sweeps_main(["--mode", "gt", "--designed", str(ddir),
+                        "--refs", str(rdir), "--out", str(out)]) == 0
+    rep = json.loads(out.read_text())
+    assert rep["gt50"] == 1 and rep["tm_avg"] > 0.95  # rigid transform
+
+    out2 = tmp_path / "nov.json"
+    assert sweeps_main(["--mode", "novelty", "--designed", str(ddir),
+                        "--refs", str(rdir), "--out", str(out2)]) == 0
+    assert json.loads(out2.read_text())["target_count"] == 1
+
+    sdir = tmp_path / "ros" / "d1" / "round_1"
+    sdir.mkdir(parents=True)
+    (sdir / "score.txt").write_text(yaml.safe_dump(
+        {"avg_score_per_res": 1.5, "total_energy": 60.0}))
+    out3 = tmp_path / "reu.json"
+    assert sweeps_main(["--mode", "reu", "--designed", str(tmp_path / "ros"),
+                        "--out", str(out3)]) == 0
+    rep3 = json.loads(out3.read_text())
+    assert rep3 == {"count": 1, "avg": 1.5, "min": 1.5, "max": 1.5, "std": 0.0}
+
+
+def test_coords_compare_cli(tmp_path):
+    """python -m ...eval.coords_compare writes the reference's aggregate
+    yaml (coords_compare.py:56-59 naming)."""
+    import pickle
+
+    import yaml
+
+    from text2protein_tpu.data.dataset import save_record
+    from text2protein_tpu.eval.coords_compare import main as cc_main
+
+    gt_dir = tmp_path / "gt"
+    s_dir = tmp_path / "samples"
+    gt_dir.mkdir(), s_dir.mkdir()
+    rng = np.random.RandomState(0)
+    c6d = rng.uniform(-1, 1, (5, 8, 8)).astype(np.float32)
+    rec = {
+        "id": "recA", "coords": np.zeros((8, 3, 3), np.float32),
+        "coords_6d": c6d, "aa": np.zeros(8, np.int64), "aa_str": "A" * 8,
+        "mask_pair": np.ones((8, 8), bool), "ss_indices": "", "caption": "",
+    }
+    save_record(rec, gt_dir / "recA.npz")
+    with open(s_dir / "sampled_recA.pkl", "wb") as f:
+        pickle.dump(c6d + 0.1, f)
+
+    assert cc_main([str(s_dir), str(gt_dir)]) == 0
+    out = yaml.safe_load((tmp_path / "coords_6d_losses.yaml").read_text())
+    assert out["count"] == 1
+    np.testing.assert_allclose(out["avg"], 0.01, rtol=1e-5)
