@@ -64,3 +64,41 @@ def batch_smoke_check(processed_dir, max_len, batch_size=4) -> dict:
         "finite": bool(np.isfinite(batch["coords_6d"]).all()),
         "lengths": batch["length"].tolist(),
     }
+
+
+def main(argv=None):
+    """CLI mirror of the reference's __main__ smoke block
+    (`/root/reference/file_checker.py:52-86`): caption<->PDB intersection,
+    optional caption backfill, and a batch smoke check driven by a config."""
+    import argparse
+
+    import yaml
+
+    p = argparse.ArgumentParser(description="dataset sanity checks")
+    p.add_argument("config", type=str)
+    p.add_argument("--backfill", action="store_true",
+                   help="write captions into processed records lacking them")
+    p.add_argument("--batch_size", type=int, default=4)
+    args = p.parse_args(argv)
+
+    with open(args.config) as f:
+        cfg = yaml.safe_load(f)
+    data = cfg["data"]
+
+    report = {}
+    if Path(data.get("dataset_path", "")).exists() and \
+            Path(data.get("caption_path", "")).exists():
+        report["intersection"] = compare_pdb_file_and_caption(
+            data["dataset_path"], data["caption_path"])
+    if args.backfill:
+        report["backfilled"] = backfill_captions(
+            data["processed_dataset_path"], data["caption_path"])
+    report["smoke"] = batch_smoke_check(
+        data["processed_dataset_path"], data["max_res_num"],
+        batch_size=args.batch_size)
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    main()
