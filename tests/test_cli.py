@@ -136,6 +136,14 @@ def test_full_cli_workflow(workspace, trained, monkeypatch):
 
     res = read_pdb(after[0]).amino_residues()
     assert "".join(THREE_TO_ONE[r.name] for r in res) == fd_scores["designed_seq"]
+    # the rosetta_<id>.pdb alias must carry the DESIGNED sequence too (with
+    # --fastdesign the after-design structure wins over final_structure.pdb,
+    # which run_minimization writes with the pre-design poly-A placeholder)
+    alias = list((root / "rosetta_fd").rglob("rosetta_*.pdb"))
+    assert alias, "no final-structure alias"
+    ares = read_pdb(alias[0]).amino_residues()
+    assert "".join(THREE_TO_ONE[r.name] for r in ares) == \
+        fd_scores["designed_seq"]
 
     # ---- coords_compare on the samples vs ground truth
     from text2protein_tpu.eval.coords_compare import coord_compare

@@ -155,17 +155,24 @@ def test_tm_sweeps_cli_modes(tmp_path):
     write_backbone_pdb(ddir / "x.pdb", _bb_from_ca(ca))
     q, t = random_rt(3)
     write_backbone_pdb(rdir / "x.pdb", _bb_from_ca(ca @ q.T + t))
+    # second design in the realization CLI's real layout:
+    # <out_root>/<pdb_id>/rosetta_<pdb_id>.pdb paired with refs/<pdb_id>.pdb
+    ca2 = make_ca_trace(36, seed=2)
+    (ddir / "y").mkdir()
+    write_backbone_pdb(ddir / "y" / "rosetta_y.pdb", _bb_from_ca(ca2))
+    q2, t2 = random_rt(4)
+    write_backbone_pdb(rdir / "y.pdb", _bb_from_ca(ca2 @ q2.T + t2))
 
     out = tmp_path / "gt.json"
     assert sweeps_main(["--mode", "gt", "--designed", str(ddir),
                         "--refs", str(rdir), "--out", str(out)]) == 0
     rep = json.loads(out.read_text())
-    assert rep["gt50"] == 1 and rep["tm_avg"] > 0.95  # rigid transform
+    assert rep["gt50"] == 2 and rep["tm_avg"] > 0.95  # rigid transforms
 
     out2 = tmp_path / "nov.json"
     assert sweeps_main(["--mode", "novelty", "--designed", str(ddir),
                         "--refs", str(rdir), "--out", str(out2)]) == 0
-    assert json.loads(out2.read_text())["target_count"] == 1
+    assert json.loads(out2.read_text())["target_count"] == 2
 
     sdir = tmp_path / "ros" / "d1" / "round_1"
     sdir.mkdir(parents=True)

@@ -1,9 +1,12 @@
 """Train step: loss decreases on overfit; EMA warmup; mesh sharding compiles
 and executes on the 8-device CPU mesh (SURVEY.md §4e)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from text2protein_tpu.diffusion import get_sde
 from text2protein_tpu.models import build_model
@@ -227,10 +230,6 @@ def test_checkpoint_meta_recovers_mid_swap_states(tmp_path):
     # a later successful save supersedes all survivors
     mgr.save_meta(state1)
     assert int(mgr.restore_meta(template).step) == 1
-
-
-import os
-import pytest
 
 
 @pytest.mark.skipif(

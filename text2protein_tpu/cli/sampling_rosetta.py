@@ -43,12 +43,12 @@ def build_argparser():
                    help="learned = trained inverse-folding head (45%% native "
                         "recovery on the corpus benchmark); physics = "
                         "zero-shot knowledge-based Potts design")
-    p.add_argument("--fastrelax", action="store_true", default=True,
-                   help="CA-restrained relax round on the best pose "
-                        "(`/root/reference/rosetta_min/run.py:180-232`); ON "
-                        "by default here (the reference defaults off)")
     p.add_argument("--no_fastrelax", dest="fastrelax", action="store_false",
-                   help="skip the final relax round")
+                   default=True,
+                   help="skip the CA-restrained relax round on the best pose "
+                        "(`/root/reference/rosetta_min/run.py:180-232`); "
+                        "relax is ON by default here (the reference "
+                        "defaults off)")
     return p
 
 
@@ -170,14 +170,17 @@ def main(argv=None):
             if link.is_symlink() or link.exists():
                 link.unlink()
             link.symlink_to(best_run.name)
-            # final structure alias (`sampling_rosetta.py:100,127`):
-            # fastrelax's final_structure.pdb wins, else the designed
-            # structure, else the minimized backbone
+            # final structure alias (`sampling_rosetta.py:100,127`). Design
+            # runs last here and reuses run_minimization's returned (post-
+            # relax) backbone, so structure_after_design.pdb carries BOTH the
+            # relaxed coordinates and the designed sequence — it must win
+            # over final_structure.pdb, which run_minimization writes with
+            # the pre-design placeholder sequence.
             candidates = ["structure_before_design.pdb"]
-            if args.fastdesign:
-                candidates.insert(0, "structure_after_design.pdb")
             if args.fastrelax:
                 candidates.insert(0, "final_structure.pdb")
+            if args.fastdesign:
+                candidates.insert(0, "structure_after_design.pdb")
             final = next((best_run / c for c in candidates
                           if (best_run / c).exists()),
                          best_run / candidates[-1])

@@ -86,10 +86,13 @@ def main(argv=None):
     data = cfg["data"]
 
     report = {}
-    if Path(data.get("dataset_path", "")).exists() and \
-            Path(data.get("caption_path", "")).exists():
+    # Path("") is PosixPath(".") and always exists — require non-empty keys
+    dataset_path = data.get("dataset_path") or ""
+    caption_path = data.get("caption_path") or ""
+    if dataset_path and caption_path and Path(dataset_path).exists() \
+            and Path(caption_path).exists():
         report["intersection"] = compare_pdb_file_and_caption(
-            data["dataset_path"], data["caption_path"])
+            dataset_path, caption_path)
     if args.backfill:
         report["backfilled"] = backfill_captions(
             data["processed_dataset_path"], data["caption_path"])

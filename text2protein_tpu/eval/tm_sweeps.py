@@ -159,6 +159,7 @@ def main(argv=None):
         # REU aggregation over per-round score.txt yamls
         # (`/root/reference/play.py:63-86`)
         files = sorted(Path(args.designed).rglob("score.txt"))
+        assert files, f"no score.txt under {args.designed}"
         out = reu_stats(files)
         with open(args.out, "w") as f:
             json.dump(out, f, indent=4)
@@ -166,11 +167,19 @@ def main(argv=None):
         return 0
 
     assert args.refs, "--refs is required for novelty/gt"
-    designed = sorted(Path(args.designed).glob("*.pdb"))
+    # accept both a flat directory of *.pdb and the realization CLI's
+    # layout (<out_root>/<run>/<pdb_id>/rosetta_<pdb_id>.pdb aliases)
+    root = Path(args.designed)
+    designed = sorted(root.glob("*.pdb")) + sorted(root.glob("*/rosetta_*.pdb"))
     refs = sorted(Path(args.refs).glob("*.pdb"))
-    assert designed, f"no *.pdb under {args.designed}"
+    assert designed, f"no *.pdb (or */rosetta_*.pdb) under {args.designed}"
     assert refs, f"no *.pdb under {args.refs}"
     use_native = not args.no_native
+
+    def design_stem(p):
+        # the realization CLI prefixes its per-design alias with rosetta_
+        s = p.stem
+        return s[len("rosetta_"):] if s.startswith("rosetta_") else s
 
     if args.mode == "novelty":
         out = train_gen_tm_compare(designed, refs, out_path=args.out,
@@ -178,9 +187,14 @@ def main(argv=None):
                                    use_native=use_native)
     else:
         by_stem = {p.stem: p for p in refs}
-        pairs = [(d.stem, d, by_stem[d.stem]) for d in designed
-                 if d.stem in by_stem]
+        pairs = [(design_stem(d), d, by_stem[design_stem(d)])
+                 for d in designed if design_stem(d) in by_stem]
         assert pairs, "no designed/ref stem matches for --mode gt"
+        if len(pairs) < len(designed):
+            missing = [d.name for d in designed
+                       if design_stem(d) not in by_stem]
+            print(f"WARNING: {len(missing)}/{len(designed)} designs have no "
+                  f"same-stem reference and are excluded: {missing[:8]}")
         out = gt_gen_tm_compare(pairs, out_path=args.out,
                                 use_native=use_native)
     print(json.dumps({k: v for k, v in out.items()
