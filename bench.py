@@ -36,6 +36,12 @@ def main():
     p.add_argument("--config", type=str, default="configs/bench_l128.yml",
                    help="config YAML (e.g. configs/test_config.yml for the "
                         "reference-scale N=256 sampler)")
+    p.add_argument("--param_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="sample metric: storage dtype for the model params "
+                        "fed to the sampler. bfloat16 halves the HBM weight "
+                        "traffic each of the NFE evals re-reads (opt-in; "
+                        "the f32 default matches training numerics)")
     p.add_argument("--norm_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"],
                    help="override model.norm_dtype")
@@ -103,6 +109,10 @@ def main():
         {"params": jax.random.PRNGKey(0)}, x0, jnp.zeros((b,)),
         context=context, context_mask=context_mask, train=False,
     )["params"]
+    if args.param_dtype == "bfloat16":
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
 
     # length condition: all samples at L=128 (the metric's shape)
     lengths = np.full((b,), min(128, n), np.int32)
