@@ -49,6 +49,11 @@ def main():
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu); the default "
                         "backend wins otherwise")
+    p.add_argument("--param_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="cast the restored EMA params to this storage dtype "
+                        "before sampling (bench.py --param_dtype's quality "
+                        "counterpart: same metric, halved HBM weight traffic)")
     args = p.parse_args()
 
     import jax
@@ -108,6 +113,10 @@ def main():
     step_trained = int(np.asarray(state.step))
     print(f"restored step {step_trained}")
     params = state.ema.params
+    if args.param_dtype == "bfloat16":
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
     sampler = get_sampling_fn(
         config, sde, model, (bs, n, n, c), eps,
         num_steps=args.steps, chunk_size=pick_chunk(args.steps, 500),
@@ -195,6 +204,7 @@ def main():
         "pc_steps": args.steps,
         "num_designs": bs,
         "shift_residues": SHIFT,
+        "param_dtype": args.param_dtype or "float32",
         "helicity_in_true_blocks": _mean(in_true),
         "helicity_outside_blocks": _mean(out_true),
         "helicity_in_shifted_blocks": _mean(in_shift),
