@@ -48,6 +48,10 @@ def main():
     p.add_argument("--steps_per_launch", type=int, default=1,
                    help="train metric: fuse K steps per device launch "
                         "(training.steps_per_launch's bench analog)")
+    p.add_argument("--remat_resblocks", action="store_true",
+                   help="train metric: rematerialize resblock activations "
+                        "(model.remat_resblocks) — unlocks larger batches "
+                        "at N=256 where activations cap HBM")
     p.add_argument("--chunk", type=int, default=None,
                    help="PC steps per device launch (default: largest "
                         "divisor of --steps <= 1000, or <= 100 for N>=256 — "
@@ -245,6 +249,8 @@ def bench_train(args):
     config.model.dtype = args.dtype
     if args.norm_dtype:
         config.model.norm_dtype = args.norm_dtype
+    if args.remat_resblocks:
+        config.model.remat_resblocks = True
     b = args.batch
     n = config.data.max_res_num
     c = config.data.num_channels
@@ -276,32 +282,20 @@ def bench_train(args):
         # and sync, which dominates single-step timings on this platform
         from text2protein_tpu.training import make_multi_train_step
 
-        multi = make_multi_train_step(config, sde, model, donate=False)
+        # donate like production training does: without donation the input
+        # and output train states coexist, which alone OOMs the N=256
+        # nf=256 config (state is ~4G; 15.96G needed vs 15.75G HBM)
+        multi = make_multi_train_step(config, sde, model, donate=True)
         stacked = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (k,) + x.shape), batch
         )
         step = lambda s, b_, r: multi(s, b_, r)  # noqa: E731
         run_batch = stacked
     else:
-        step = make_train_step(config, sde, model, donate=False)
+        step = make_train_step(config, sde, model, donate=True)
         run_batch = batch
     state, loss = step(state, run_batch, jax.random.PRNGKey(1))
     np.asarray(loss)  # sync
-
-    # XLA's own FLOP count for one train step (fwd+bwd+optimizer). Always
-    # taken from the SINGLE-step program: cost_analysis counts a lax.scan
-    # body ONCE regardless of trip count, so lowering the fused k-step
-    # program would under-report the launch FLOPs by exactly k.
-    step_flops = None
-    try:
-        single = make_train_step(config, sde, model, donate=False)
-        cost = jax.jit(single).lower(
-            state, batch, jax.random.PRNGKey(1)).compile()
-        ca = cost.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        step_flops = float(ca["flops"]) * k
-    except Exception as e:
-        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
 
     times = []
     for r in range(args.repeats):
@@ -310,6 +304,44 @@ def bench_train(args):
         np.asarray(loss)
         times.append(time.perf_counter() - t0)
     dt = min(times)
+
+    # XLA's own FLOP count for one train step (fwd+bwd+optimizer). Always
+    # taken from the SINGLE-step program: cost_analysis counts a lax.scan
+    # body ONCE regardless of trip count, so lowering the fused k-step
+    # program would under-report the launch FLOPs by exactly k. MFU is
+    # MODEL-flops utilization, so the cost model must come from the
+    # non-remat program — remat recompute is overhead, not useful work
+    # (counting it reported a nonsense 114% at B=8 --remat_resblocks).
+    # This block runs AFTER the timing loop: the throwaway cost state it
+    # materializes (~4G for the N=256 model) must not coexist with the
+    # timed launches' activations.
+    step_flops = None
+    try:
+        cost_model = model
+        cost_batch, bc = batch, b
+        if getattr(config.model, "remat_resblocks", False):
+            import dataclasses
+
+            cost_model = dataclasses.replace(model, remat_resblocks=False)
+            # the non-remat program at the full batch may not fit HBM for
+            # AOT compilation (that's why remat is on); FLOPs are linear in
+            # batch, so cost a 2-sample program and scale.
+            bc = min(b, 2)
+            cost_batch = jax.tree.map(lambda x: x[:bc], batch)
+            del state  # free the exec train state before materializing
+            cost_state = create_train_state(
+                config, cost_model, jax.random.PRNGKey(0), cost_batch)
+        else:
+            cost_state = state
+        single = make_train_step(config, sde, cost_model, donate=False)
+        cost = jax.jit(single).lower(
+            cost_state, cost_batch, jax.random.PRNGKey(1)).compile()
+        ca = cost.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        step_flops = float(ca["flops"]) * k * (b / bc)
+    except Exception as e:
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
     n_chips = jax.local_device_count()
     # MFU vs TPU v5e peak (197 TFLOP/s bf16; f32 runs the MXU at half rate)
     peak = 197e12 if args.dtype == "bfloat16" else 98.5e12

@@ -265,3 +265,30 @@ def test_sp_long_context_n256():
     state_sp, loss = step_sp(state_sp, batch_sp, jax.random.PRNGKey(5))
     assert np.isfinite(float(loss)), float(loss)
     assert int(state_sp.step) == 1
+
+
+def test_remat_resblocks_matches_no_remat():
+    """model.remat_resblocks trades recompute for activation memory (the
+    N=256 nf=256 config OOMs at B>=4 without it) and must be numerically
+    equivalent: same loss and same updated params as the un-remat model
+    from identical init/batch/rng — and an IDENTICAL param tree structure
+    (the nn.remat wrapper must not rename modules, or checkpoints would not
+    load across the flag)."""
+    batch = tiny_batch(tiny_config())
+    results = []
+    for remat in (False, True):
+        config = tiny_config(model={"remat_resblocks": remat, "dropout": 0.1})
+        sde, _ = get_sde(config)
+        model = build_model(config)
+        state = create_train_state(config, model, jax.random.PRNGKey(0), batch)
+        step = make_train_step(config, sde, model, donate=False)
+        state, loss = step(state, batch, jax.random.PRNGKey(7))
+        results.append((float(loss), state.params))
+    assert np.isfinite(results[0][0])
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-5)
+    assert (jax.tree_util.tree_structure(results[0][1])
+            == jax.tree_util.tree_structure(results[1][1]))
+    for a, b in zip(jax.tree.leaves(results[0][1]),
+                    jax.tree.leaves(results[1][1])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

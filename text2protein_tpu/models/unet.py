@@ -52,6 +52,11 @@ class ScoreUNet(nn.Module):
     sigma_max: float = 100.0
     num_scales: int = 2000
     remat_attention: bool = True
+    # Rematerialize resblock activations in the backward pass. Off by
+    # default (the L=128 flagship fits comfortably); enables larger train
+    # batches at N=256 nf=256 where activations, not params, cap HBM
+    # (B=4 fused-10 needs 18.4G of 15.75G without it).
+    remat_resblocks: bool = False
     dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
     norm_dtype: object = None  # normalization compute dtype (None = float32)
 
@@ -83,6 +88,17 @@ class ScoreUNet(nn.Module):
             )
             if self.resblock_type == "biggan":
                 kwargs.update(up=up, down=down)
+            if self.remat_resblocks:
+                # static_argnums counts the bound module as arg 0, so the
+                # python-bool `train` flag of __call__(self, x, temb, train)
+                # sits at index 3. Keep the original class name: linen
+                # auto-names modules by type name, and the default
+                # "Checkpoint<cls>" prefix would put params under different
+                # keys than the un-remat model — breaking checkpoint
+                # compatibility across the flag.
+                base_name = cls.__name__
+                cls = nn.remat(cls, static_argnums=(3,))
+                cls.__name__ = base_name
             return cls(**kwargs)
 
         def attn_pair(h, ctx, ctx_mask):
@@ -192,6 +208,7 @@ def build_model(config) -> ScoreUNet:
         sigma_min=m.sigma_min,
         sigma_max=m.sigma_max,
         num_scales=m.num_scales,
+        remat_resblocks=bool(m.get("remat_resblocks", False)),
         dtype={"float32": None, "bfloat16": jnp.bfloat16}[
             str(m.get("dtype", "float32"))
         ],
