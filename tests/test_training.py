@@ -232,6 +232,43 @@ def test_checkpoint_meta_recovers_mid_swap_states(tmp_path):
     assert int(mgr.restore_meta(template).step) == 1
 
 
+def test_checkpoint_async_best_and_stale_tmp_purge(tmp_path):
+    """save_best is async (returns before the disk write commits) but a
+    restore or wait joins it; a stale `.orbax-checkpoint-tmp` dir from a
+    killed save (observed after a SIGKILL mid-write at N=256) is purged on
+    manager init and never treated as a restore source."""
+    config = tiny_config()
+    sde, _ = get_sde(config)
+    model = build_model(config)
+    batch = tiny_batch(config)
+    state = create_train_state(config, model, jax.random.PRNGKey(0), batch)
+
+    from text2protein_tpu.training import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path)
+    mgr.save_best(state, "eval")
+    mgr.wait_until_finished()
+    assert (tmp_path / "checkpoints" / "best_eval").exists()
+
+    # async save then immediate restore_any: the restore must see the
+    # committed write (restore joins the in-flight save)
+    train_step = make_train_step(config, sde, model, donate=False)
+    state2, _ = train_step(state, batch, jax.random.PRNGKey(1))
+    mgr.save_best(state2, "eval")
+    template = create_train_state(config, model, jax.random.PRNGKey(9), batch)
+    restored = mgr.restore_any(template)
+    assert int(restored.step) == 1
+
+    # simulate a killed-mid-write tmp leftover; a fresh manager purges it
+    stale = tmp_path / "checkpoints" / "best_train.orbax-checkpoint-tmp"
+    stale.mkdir()
+    (stale / "junk").write_text("partial")
+    mgr2 = CheckpointManager(tmp_path)
+    assert not stale.exists()
+    # best_train itself never committed -> restore_any falls to best_eval
+    assert int(mgr2.restore_any(template).step) == 1
+
+
 @pytest.mark.skipif(
     not os.environ.get("T2P_SLOW_TESTS"),
     reason="~7 min on the 1-core host even warm-cache (SPMD partitioning "

@@ -337,6 +337,7 @@ def main(argv=None):
 
     if last_meta != step:
         ckpt.save_meta(state)
+    ckpt.wait_until_finished()  # join any in-flight async best save
     writer.close()
     print(f"done at step {step}; workdir {workdir}")
     return workdir

@@ -25,13 +25,39 @@ class CheckpointManager:
         self.best_dir = self.workdir / "checkpoints"
         self.meta_dir.mkdir(parents=True, exist_ok=True)
         self.best_dir.mkdir(parents=True, exist_ok=True)
-        self._ckptr = ocp.StandardCheckpointer()
+        # Async so best-checkpoint saves overlap training: orbax copies the
+        # arrays device->host inside save() (donation-safe — the state can be
+        # overwritten the moment save() returns) and serializes to disk in a
+        # background thread. At N=256 the 379M-param state costs minutes per
+        # save; sync saves stalled the train loop for all of it.
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        self._purge_stale_tmp()
 
-    def _save(self, path: Path, state: TrainState):
+    def _purge_stale_tmp(self):
+        """Remove orbax tmp dirs left by a save killed mid-write (observed:
+        `best_train.orbax-checkpoint-tmp` after a SIGKILL during the disk
+        phase). They are never a valid restore source, and a stale one at
+        the target name can confuse a later force-save."""
+        import shutil
+
+        for d in (self.meta_dir, self.best_dir):
+            for p in d.glob("*.orbax-checkpoint-tmp*"):
+                shutil.rmtree(p, ignore_errors=True)
+
+    def _save(self, path: Path, state: TrainState, block: bool = True):
+        # one in-flight save at a time: orbax raises if the previous async
+        # write is still running when save() is called again
+        self._ckptr.wait_until_finished()
         self._ckptr.save(path, jax.tree.map(lambda x: x, state), force=True)
+        if block:
+            self._ckptr.wait_until_finished()
+
+    def wait_until_finished(self):
+        """Block until any in-flight async save has committed to disk."""
         self._ckptr.wait_until_finished()
 
     def _restore(self, path: Path, template: TrainState) -> TrainState:
+        self._ckptr.wait_until_finished()
         return self._ckptr.restore(path, template)
 
     # -- preemption checkpoint ------------------------------------------------
@@ -78,8 +104,12 @@ class CheckpointManager:
 
     # -- best checkpoints ------------------------------------------------------
     def save_best(self, state: TrainState, kind: str):
+        """Non-blocking: returns once the state is copied off-device; the
+        disk write proceeds in the background (next save/restore/
+        `wait_until_finished` joins it). The meta checkpoint stays blocking
+        because its crash-safe swap dance needs the write committed."""
         assert kind in ("train", "eval")
-        self._save(self.best_dir / f"best_{kind}", state)
+        self._save(self.best_dir / f"best_{kind}", state, block=False)
 
     def restore_best(self, template: TrainState, kind: str) -> TrainState:
         return self._restore(self.best_dir / f"best_{kind}", template)
