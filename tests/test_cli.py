@@ -82,6 +82,23 @@ def test_full_cli_workflow(workspace, trained, monkeypatch):
                            "--max_steps", "8"])
     assert workdir2 == workdir
 
+    # ---- resume a workdir whose meta checkpoint never landed (killed
+    # before the first preemption save): falls back to a best checkpoint
+    # instead of restarting from step 0
+    import shutil
+
+    workdir_nb = workdir.parent / "no_meta"
+    shutil.copytree(workdir, workdir_nb)
+    shutil.rmtree(workdir_nb / "checkpoints-meta")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        train_main([str(cfg_path), "--resume", str(workdir_nb),
+                    "--max_steps", "8"])
+    assert "resumed from a best checkpoint" in buf.getvalue()
+
     # ---- sampling_6d from best_eval
     from text2protein_tpu.cli.sampling_6d import main as sample_main
 

@@ -192,6 +192,17 @@ def main(argv=None):
     if ckpt.has_meta():
         state = ckpt.restore_meta(state)
         print(f"resumed from preemption checkpoint at step {int(state.step)}")
+    elif args.resume:
+        # An explicitly resumed workdir with no meta checkpoint: the run was
+        # killed before its first preemption save (observed at N=256, where
+        # saves are minutes apart). Fall back to the freshest best
+        # checkpoint rather than silently restarting from step 0.
+        try:
+            state = ckpt.restore_any(state)
+            print(f"no preemption checkpoint; resumed from a best "
+                  f"checkpoint at step {int(state.step)}")
+        except FileNotFoundError:
+            print("no checkpoint in resumed workdir; starting from step 0")
 
     train_step = make_train_step(config, sde, model, mesh=mesh)
     eval_step = make_eval_step(config, sde, model, mesh=mesh)
