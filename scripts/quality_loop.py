@@ -123,13 +123,22 @@ def main():
     emb0, emb_mask0 = encoder.encode([rec0.get("caption", "")] * bs)
     init_batch["context"] = jnp.asarray(emb0)
     init_batch["context_mask"] = jnp.asarray(emb_mask0)
-    template = create_train_state(config, model, jax.random.PRNGKey(0),
-                                  init_batch)
+    # Abstract template: never materialize the init state. At N=256 the full
+    # train state (params + EMA + Adam m/v) is ~6 GB; a real template plus
+    # the restored state would hold ~12 GB of the chip's 15.75 GB HBM and
+    # the first sampler launch OOMs.
+    template = jax.eval_shape(
+        lambda: create_train_state(config, model, jax.random.PRNGKey(0),
+                                   init_batch)
+    )
     ckpt = CheckpointManager(workdir)
     state = ckpt.restore_any(template, args.checkpoint)
     step_trained = int(np.asarray(state.step))
     print(f"restored checkpoint at step {step_trained}")
     params = state.ema.params
+    # free the raw-param/optimizer copies before compiling the sampler —
+    # only the EMA params are sampled from
+    del state, template
 
     # --- sample ---------------------------------------------------------------
     from text2protein_tpu.diffusion.sampling import pick_chunk
