@@ -85,7 +85,7 @@ def main():
     from text2protein_tpu.eval.helix_count import count_helices
     from text2protein_tpu.models import build_model
     from text2protein_tpu.text import build_text_encoder
-    from text2protein_tpu.training import CheckpointManager, create_train_state
+    from text2protein_tpu.training import restore_ema_params
 
     workdir = Path(args.workdir)
     config = load_config(str(workdir / "config.yml"))
@@ -132,13 +132,10 @@ def main():
         "context": jnp.asarray(emb0),
         "context_mask": jnp.asarray(emb_mask0),
     }
-    state = CheckpointManager(workdir).restore_any(
-        create_train_state(config, model, jax.random.PRNGKey(0), init_batch),
-        args.checkpoint,
+    params, step_trained = restore_ema_params(
+        workdir, config, model, init_batch, checkpoint=args.checkpoint
     )
-    step_trained = int(np.asarray(state.step))
     print(f"restored checkpoint at step {step_trained}")
-    params = state.ema.params
 
     config.sampling.cfg_scale = args.cfg_scale
     sampler = get_sampling_fn(

@@ -77,7 +77,7 @@ def main():
     from text2protein_tpu.models import build_model
     from text2protein_tpu.realize.minimize import realize_batch_managed
     from text2protein_tpu.text import build_text_encoder
-    from text2protein_tpu.training import CheckpointManager, create_train_state
+    from text2protein_tpu.training import restore_ema_params
 
     workdir = Path(args.workdir)
     config = load_config(str(workdir / "config.yml"))
@@ -123,22 +123,10 @@ def main():
     emb0, emb_mask0 = encoder.encode([rec0.get("caption", "")] * bs)
     init_batch["context"] = jnp.asarray(emb0)
     init_batch["context_mask"] = jnp.asarray(emb_mask0)
-    # Abstract template: never materialize the init state. At N=256 the full
-    # train state (params + EMA + Adam m/v) is ~6 GB; a real template plus
-    # the restored state would hold ~12 GB of the chip's 15.75 GB HBM and
-    # the first sampler launch OOMs.
-    template = jax.eval_shape(
-        lambda: create_train_state(config, model, jax.random.PRNGKey(0),
-                                   init_batch)
+    params, step_trained = restore_ema_params(
+        workdir, config, model, init_batch, checkpoint=args.checkpoint
     )
-    ckpt = CheckpointManager(workdir)
-    state = ckpt.restore_any(template, args.checkpoint)
-    step_trained = int(np.asarray(state.step))
     print(f"restored checkpoint at step {step_trained}")
-    params = state.ema.params
-    # free the raw-param/optimizer copies before compiling the sampler —
-    # only the EMA params are sampled from
-    del state, template
 
     # --- sample ---------------------------------------------------------------
     from text2protein_tpu.diffusion.sampling import pick_chunk

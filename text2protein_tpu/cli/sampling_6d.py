@@ -74,7 +74,7 @@ def main(argv=None):
     from ..diffusion.sampling import get_sampling_fn
     from ..models import build_model
     from ..text import build_text_encoder
-    from ..training import CheckpointManager, create_train_state
+    from ..training import restore_ema_params
 
     config = load_config(args.config)
     workdir = Path("sampling", "coords_6d", Path(args.config).stem,
@@ -96,12 +96,12 @@ def main(argv=None):
         "context": jnp.zeros((b, 8, config.model.context_dim), jnp.float32),
         "context_mask": jnp.zeros((b, 8), bool),
     }
-    template = create_train_state(config, model, jax.random.PRNGKey(0), dummy)
     ckpt_path = Path(args.checkpoint)
-    mgr = CheckpointManager(ckpt_path.parent.parent)
-    state = mgr.restore_any(template, path=ckpt_path if ckpt_path.exists() else None)
-    params = state.ema.params  # EMA weights, like ema.copy_to in the reference
-    print(f"restored step {int(state.step)} from {ckpt_path}")
+    params, step = restore_ema_params(
+        ckpt_path.parent.parent, config, model, dummy,
+        checkpoint=ckpt_path if ckpt_path.exists() else None,
+    )
+    print(f"restored step {step} from {ckpt_path}")
 
     if args.sampler:
         config.sampling.method = args.sampler

@@ -126,3 +126,26 @@ class CheckpointManager:
             if cand is not None and cand.exists():
                 return self._restore(cand, template)
         raise FileNotFoundError(f"no checkpoint under {self.workdir}")
+
+
+def restore_ema_params(workdir, config, model, init_batch, checkpoint=None):
+    """Memory-lean restore for sampling-side consumers: (ema_params, step).
+
+    Restores against an abstract `jax.eval_shape` template and returns only
+    the EMA params (what `ema.copy_to` yields in the reference,
+    `/root/reference/sampling_6d.py:66-73`), letting the raw-param and
+    optimizer slots be freed immediately. A materialized init template plus
+    the restored state would hold TWO full train states (~12 GB at N=256 of
+    a v5e chip's 15.75 GB) and the first sampler launch OOMs.
+    """
+    import jax
+
+    from .state import create_train_state
+
+    template = jax.eval_shape(
+        lambda: create_train_state(config, model, jax.random.PRNGKey(0),
+                                   init_batch)
+    )
+    state = CheckpointManager(workdir).restore_any(template, checkpoint)
+    step = int(jax.device_get(state.step))
+    return state.ema.params, step
