@@ -9,13 +9,25 @@
 # with a timeout, retried every ~5 min) so we don't burn retries against a
 # dead tunnel.
 #
+# Two distinct tunnel-death modes are handled:
+#   1. the trainer CRASHES (remote_compile connection refused) -> probe loop;
+#   2. the trainer HANGS forever on a dead RPC (observed: 64 min of silence
+#      mid-step, 0 CPU, while the tunnel recovered underneath it). A watchdog
+#      kills the trainer when the log goes stale for STALL_S seconds — longer
+#      grace (SAVE_STALL_S) while the last log line says a meta checkpoint
+#      save is in flight, since N=256 meta saves legitimately block O(20 min)
+#      over the 3 MB/s tunnel with no output.
+#
 # Usage: scripts/train_supervised.sh <config> <workdir> <max_steps> [logfile]
 set -u
 CONFIG="$1"
 WORKDIR="$2"
 MAX_STEPS="$3"
 LOG="${4:-/tmp/train_supervised.log}"
-DEADLINE_S="${DEADLINE_S:-19800}"   # give up after ~5.5h wall
+DEADLINE_S="${DEADLINE_S:-19800}"     # give up after ~5.5h wall
+STALL_S="${STALL_S:-1200}"            # kill a silent trainer after 20 min
+SAVE_STALL_S="${SAVE_STALL_S:-2700}"  # ... 45 min if a meta save is in flight
+WATCH_INTERVAL="${WATCH_INTERVAL:-60}"
 START=$(date +%s)
 
 probe_tpu() {
@@ -24,6 +36,12 @@ import jax, numpy as np
 x = jax.numpy.ones((128, 128))
 assert float(np.asarray(x @ x)[0, 0]) == 128.0
 EOF
+}
+
+log_stale_s() {
+    local m
+    m=$(stat -c %Y "$LOG" 2>/dev/null) || m=$START
+    echo $(( $(date +%s) - m ))
 }
 
 attempt=0
@@ -36,9 +54,41 @@ while true; do
     fi
     attempt=$((attempt + 1))
     echo "[supervise] attempt $attempt ($(date -u +%H:%M:%S), ${left}s left)" >> "$LOG"
-    timeout "$left" python -m text2protein_tpu.cli.train "$CONFIG" \
-        --resume "$WORKDIR" --max_steps "$MAX_STEPS" >> "$LOG" 2>&1
-    rc=$?
+    timeout "$left" python -u -m text2protein_tpu.cli.train "$CONFIG" \
+        --resume "$WORKDIR" --max_steps "$MAX_STEPS" >> "$LOG" 2>&1 &
+    trainer=$!
+
+    # ---- watchdog: wait for exit, or kill on log staleness
+    rc=""
+    while kill -0 "$trainer" 2>/dev/null; do
+        sleep "$WATCH_INTERVAL"
+        stale=$(log_stale_s)
+        limit=$STALL_S
+        if tail -n 1 "$LOG" 2>/dev/null | grep -q "saving meta checkpoint"; then
+            limit=$SAVE_STALL_S
+        fi
+        if [ "$stale" -ge "$limit" ]; then
+            echo "[supervise] log stale ${stale}s (limit ${limit}s); killing hung trainer $trainer" >> "$LOG"
+            kill "$trainer" 2>/dev/null
+            sleep 10
+            kill -9 "$trainer" 2>/dev/null
+            rc=98
+            break
+        fi
+        now=$(date +%s)
+        if [ $((DEADLINE_S - (now - START))) -le 60 ]; then
+            echo "[supervise] deadline during run; stopping trainer $trainer" >> "$LOG"
+            kill "$trainer" 2>/dev/null
+            wait "$trainer" 2>/dev/null
+            exit 3
+        fi
+    done
+    if [ -z "$rc" ]; then
+        wait "$trainer"; rc=$?
+    else
+        wait "$trainer" 2>/dev/null
+    fi
+
     if [ "$rc" -eq 0 ]; then
         echo "[supervise] trainer finished cleanly" >> "$LOG"
         exit 0

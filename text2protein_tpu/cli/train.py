@@ -285,7 +285,13 @@ def main(argv=None):
         # ---- preemption checkpoint (`train.py:185`, cadence from
         # training.snapshot_freq_for_preemption)
         if step - last_meta >= meta_freq or step >= step_budget:
+            # Meta saves block end-to-end (device->host copy over the tunnel,
+            # O(20 min) for the N=256 state) — bracket them in the log so a
+            # log-staleness watchdog can tell "long save" from "hung RPC".
+            print(f"saving meta checkpoint at step {step} ...")
+            t_save = time.time()
             ckpt.save_meta(state)
+            print(f"meta checkpoint saved ({time.time() - t_save:.0f}s)")
             last_meta = step
 
         # ---- eval (EMA-swapped) every eval_freq steps. The reference's test
