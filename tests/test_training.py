@@ -269,6 +269,47 @@ def test_checkpoint_async_best_and_stale_tmp_purge(tmp_path):
     assert int(mgr2.restore_any(template).step) == 1
 
 
+def test_checkpoint_restore_newest_and_abstract_template(tmp_path):
+    """Resuming training restores the NEWEST checkpoint — best_eval is the
+    best MODEL (what samplers want via restore_any), not the newest STATE;
+    preferring it for resume threw away 1800 steps of an N=256 run whose
+    eval loss had a lucky early minimum. Restore also goes through an
+    ABSTRACT template (ShapeDtypeStruct + sharding) so the trainer can free
+    the init state's buffers first: two concrete states don't fit HBM at
+    N=256."""
+    import time
+
+    config = tiny_config()
+    sde, _ = get_sde(config)
+    model = build_model(config)
+    batch = tiny_batch(config)
+    state = create_train_state(config, model, jax.random.PRNGKey(0), batch)
+    train_step = make_train_step(config, sde, model, donate=False)
+
+    from text2protein_tpu.training import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path)
+    mgr.save_best(state, "eval")  # step 0, written first
+    mgr.wait_until_finished()
+    time.sleep(0.1)
+    state1, _ = train_step(state, batch, jax.random.PRNGKey(1))
+    mgr.save_best(state1, "train")  # step 1, written later
+    mgr.wait_until_finished()
+
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        state1,
+    )
+    restored = mgr.restore_newest(abstract)
+    assert int(restored.step) == 1  # the newest state, not best_eval's 0
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state1.params)[0]),
+    )
+    # restore_any keeps the sampler-facing preference: best_eval first
+    assert int(mgr.restore_any(abstract).step) == 0
+
+
 @pytest.mark.skipif(
     not os.environ.get("T2P_SLOW_TESTS"),
     reason="~7 min on the 1-core host even warm-cache (SPMD partitioning "

@@ -189,20 +189,37 @@ def main(argv=None):
           f"mesh: {dict(mesh.shape)}  records: {n_total}")
 
     ckpt = CheckpointManager(workdir)
-    if ckpt.has_meta():
-        state = ckpt.restore_meta(state)
-        print(f"resumed from preemption checkpoint at step {int(state.step)}")
-    elif args.resume:
-        # An explicitly resumed workdir with no meta checkpoint: the run was
-        # killed before its first preemption save (observed at N=256, where
-        # saves are minutes apart). Fall back to the freshest best
-        # checkpoint rather than silently restarting from step 0.
-        try:
-            state = ckpt.restore_any(state)
-            print(f"no preemption checkpoint; resumed from a best "
-                  f"checkpoint at step {int(state.step)}")
-        except FileNotFoundError:
-            print("no checkpoint in resumed workdir; starting from step 0")
+    if ckpt.has_meta() or args.resume:
+        # Restore against an ABSTRACT template carrying the init state's
+        # shardings, with the concrete init state freed first: template +
+        # restored state together are two full train states (~12 GB at
+        # N=256), which leaves no HBM for the first fused launch.
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding),
+            state,
+        )
+        state = None
+        if ckpt.has_meta():
+            state = ckpt.restore_meta(abstract)
+            print(f"resumed from preemption checkpoint at step "
+                  f"{int(state.step)}")
+        else:
+            # An explicitly resumed workdir with no meta checkpoint: the run
+            # was killed before its first preemption save (observed at N=256,
+            # where saves are minutes apart). Fall back to the NEWEST best
+            # checkpoint rather than silently restarting from step 0.
+            try:
+                state = ckpt.restore_newest(abstract)
+                print(f"no preemption checkpoint; resumed from a best "
+                      f"checkpoint at step {int(state.step)}")
+            except FileNotFoundError:
+                print("no checkpoint in resumed workdir; starting from "
+                      "step 0")
+                state = create_train_state(
+                    config, model, jax.random.PRNGKey(config.seed), init_batch
+                )
+                state = shard_train_state(state, mesh)
 
     train_step = make_train_step(config, sde, model, mesh=mesh)
     eval_step = make_eval_step(config, sde, model, mesh=mesh)
