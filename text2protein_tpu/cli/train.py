@@ -182,24 +182,37 @@ def main(argv=None):
     first = next(batches(dataset, train_idx, bs, max_len, host_rng,
                          host_id=host_id, host_count=host_count))
     init_batch = prepare(first, jax.random.PRNGKey(0))
-    state = create_train_state(config, model, jax.random.PRNGKey(config.seed),
-                               init_batch)
-    state = shard_train_state(state, mesh)
-    print(f"model params: {param_count(state.params)/1e6:.2f}M  "
-          f"mesh: {dict(mesh.shape)}  records: {n_total}")
+
+    def fresh_state():
+        s = create_train_state(config, model,
+                               jax.random.PRNGKey(config.seed), init_batch)
+        return shard_train_state(s, mesh)
 
     ckpt = CheckpointManager(workdir)
     if ckpt.has_meta() or args.resume:
-        # Restore against an ABSTRACT template carrying the init state's
-        # shardings, with the concrete init state freed first: template +
-        # restored state together are two full train states (~12 GB at
-        # N=256), which leaves no HBM for the first fused launch.
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
-                                           sharding=x.sharding),
-            state,
+        # Restore against an ABSTRACT template built via `jax.eval_shape` —
+        # the concrete init state must NEVER be materialized on the resume
+        # path. At N=256 the init state (~6 GB) + restored state (~6 GB)
+        # fragment HBM enough that the first fused launch OOMs even when the
+        # init state is freed before restore (observed: every resume at step
+        # 3010 died RESOURCE_EXHAUSTED while cold starts trained for hours).
+        from jax.sharding import NamedSharding
+
+        from ..parallel.mesh import param_spec
+
+        msize = mesh.shape["model"]
+        shapes = jax.eval_shape(
+            lambda: create_train_state(
+                config, model, jax.random.PRNGKey(config.seed), init_batch
+            )
         )
-        state = None
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype,
+                sharding=NamedSharding(mesh, param_spec(None, x, msize)),
+            ),
+            shapes,
+        )
         if ckpt.has_meta():
             state = ckpt.restore_meta(abstract)
             print(f"resumed from preemption checkpoint at step "
@@ -216,10 +229,11 @@ def main(argv=None):
             except FileNotFoundError:
                 print("no checkpoint in resumed workdir; starting from "
                       "step 0")
-                state = create_train_state(
-                    config, model, jax.random.PRNGKey(config.seed), init_batch
-                )
-                state = shard_train_state(state, mesh)
+                state = fresh_state()
+    else:
+        state = fresh_state()
+    print(f"model params: {param_count(state.params)/1e6:.2f}M  "
+          f"mesh: {dict(mesh.shape)}  records: {n_total}")
 
     train_step = make_train_step(config, sde, model, mesh=mesh)
     eval_step = make_eval_step(config, sde, model, mesh=mesh)
