@@ -375,13 +375,22 @@ def main(argv=None):
                 # (B, C, N, N) layout for reference-compatible consumers
                 pickle.dump(np.asarray(sample).transpose(0, 3, 1, 2), f)
 
-        # ---- best checkpoints (`train.py:224-255`)
-        if avg_train < best_train:
-            best_train = avg_train
-            ckpt.save_best(state, "train")
-        if avg_eval < best_eval:
-            best_eval = avg_eval
-            ckpt.save_best(state, "eval")
+        # ---- best checkpoints (`train.py:224-255`). One device->host
+        # transfer shared by both artifacts: over the ~3 MB/s tunnel the
+        # copy IS the cost of a save (~20 min for the N=256 state), and
+        # early in training both bests improve at every eval boundary —
+        # saving each from the device would pay it twice.
+        improved_train = avg_train < best_train
+        improved_eval = avg_eval < best_eval
+        if improved_train or improved_eval:
+            host_state = jax.device_get(state)
+            if improved_train:
+                best_train = avg_train
+                ckpt.save_best(host_state, "train")
+            if improved_eval:
+                best_eval = avg_eval
+                ckpt.save_best(host_state, "eval")
+            del host_state
 
     if last_meta != step:
         ckpt.save_meta(state)
