@@ -64,7 +64,7 @@ while true; do
         sleep "$WATCH_INTERVAL"
         stale=$(log_stale_s)
         limit=$STALL_S
-        if tail -n 1 "$LOG" 2>/dev/null | grep -q "saving meta checkpoint"; then
+        if tail -n 1 "$LOG" 2>/dev/null | grep -q "saving meta checkpoint\|saving best checkpoint"; then
             limit=$SAVE_STALL_S
         fi
         if [ "$stale" -ge "$limit" ]; then

@@ -383,6 +383,12 @@ def main(argv=None):
         improved_train = avg_train < best_train
         improved_eval = avg_eval < best_eval
         if improved_train or improved_eval:
+            # bracket in the log: the transfer blocks silently for ~20 min
+            # at N=256, and the supervisor's stall watchdog needs to tell
+            # "long save" from "hung RPC" (scripts/train_supervised.sh)
+            print(f"saving best checkpoint at step {step} "
+                  f"(host transfer) ...")
+            t_save = time.time()
             host_state = jax.device_get(state)
             if improved_train:
                 best_train = avg_train
@@ -391,6 +397,7 @@ def main(argv=None):
                 best_eval = avg_eval
                 ckpt.save_best(host_state, "eval")
             del host_state
+            print(f"best checkpoint saved ({time.time() - t_save:.0f}s)")
 
     if last_meta != step:
         ckpt.save_meta(state)
