@@ -268,7 +268,10 @@ def main(argv=None):
     max_epoch_steps = int(config.training.epochs) * steps_per_epoch
     step_budget = min(n_iters, max_epoch_steps)
     last_meta = step
-    last_eval = step - eval_freq
+    # no immediate boundary at startup/resume: an eval right away triggers
+    # best-checkpoint saves that buy ~10 steps of protection for ~25 min of
+    # tunnel transfer at N=256 (observed: every resume re-paid it)
+    last_eval = step
 
     def train_batches_forever():
         while True:
