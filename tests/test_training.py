@@ -370,3 +370,43 @@ def test_remat_resblocks_matches_no_remat():
                     jax.tree.leaves(results[1][1])):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_abstract_restore_template_matches_concrete_state():
+    """The resume path builds its orbax restore template via jax.eval_shape
+    + param_spec instead of materializing a concrete init state (which at
+    N=256 fragments HBM enough that the first fused launch after restore
+    OOMs — cli/train.py). The template must agree with the real sharded
+    state leaf-for-leaf in shape, dtype, AND sharding, or restore would
+    silently re-lay-out the checkpoint."""
+    from jax.sharding import NamedSharding
+
+    from text2protein_tpu.parallel.mesh import param_spec
+
+    config = tiny_config()
+    sde, _ = get_sde(config)
+    model = build_model(config)
+    batch = tiny_batch(config)
+    mesh = make_mesh(data=4, model=2)
+    concrete = shard_train_state(
+        create_train_state(config, model, jax.random.PRNGKey(0), batch), mesh
+    )
+
+    msize = mesh.shape["model"]
+    shapes = jax.eval_shape(
+        lambda: create_train_state(config, model, jax.random.PRNGKey(0), batch)
+    )
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(
+            x.shape, x.dtype,
+            sharding=NamedSharding(mesh, param_spec(None, x, msize)),
+        ),
+        shapes,
+    )
+
+    assert (jax.tree_util.tree_structure(abstract)
+            == jax.tree_util.tree_structure(concrete))
+    for a, c in zip(jax.tree.leaves(abstract), jax.tree.leaves(concrete)):
+        assert a.shape == c.shape, (a.shape, c.shape)
+        assert a.dtype == c.dtype, (a.dtype, c.dtype)
+        assert a.sharding == c.sharding, (a.shape, a.sharding, c.sharding)
