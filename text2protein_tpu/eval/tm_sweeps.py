@@ -7,14 +7,18 @@ Two comparison modes writing `tm-scores.json`:
     the >0.5 / >0.4 / >0.3 bucket counts.
 
 Per-pair errors are counted and skipped (the reference swallows them,
-`TMalign.py:131-133`). Pairs run in a process pool — the reference runs them
-serially.
+`TMalign.py:131-133`). Pairs run concurrently in a THREAD pool — the
+reference runs them serially. Never a fork ProcessPool: forking after JAX
+has started its runtime threads deadlocks (observed on a post-sampling
+sweep), and spawn re-imports the caller's __main__ (breaks stdin scripts).
+Threads are the right tool anyway: the native path waits on tmalign
+subprocesses (GIL released) and the pure-python scorer is numpy.
 """
 
 from __future__ import annotations
 
 import json
-from concurrent.futures import ProcessPoolExecutor
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
@@ -32,13 +36,19 @@ def _score_pair(pair):
         return None
 
 
+def _executor(use_native, num_workers):
+    """Fork-safe executor choice (see module docstring)."""
+    del use_native
+    return ThreadPoolExecutor(max_workers=num_workers)
+
+
 def train_gen_tm_compare(designed_paths, train_pdb_paths, out_path="tm-scores.json",
                          max_train=100, use_native=True, num_workers=8):
     """Novelty sweep: each design vs up to `max_train` training structures."""
     train_pdb_paths = [Path(p) for p in train_pdb_paths][:max_train]
     scores = []
     samples = {}
-    with ProcessPoolExecutor(max_workers=num_workers) as ex:
+    with _executor(use_native, num_workers) as ex:
         for target in map(Path, designed_paths):
             pairs = [(str(target), str(r), use_native) for r in train_pdb_paths]
             vals = [v for v in ex.map(_score_pair, pairs) if v is not None]
@@ -77,7 +87,7 @@ def gt_gen_tm_compare(pairs, out_path="tm-scores.json", use_native=True,
     buckets = {"gt50": 0, "gt40": 0, "gt30": 0, "lt30": 0}
     jobs = [(str(d), str(g), use_native) for _, d, g in pairs]
     names = [n for n, _, _ in pairs]
-    with ProcessPoolExecutor(max_workers=num_workers) as ex:
+    with _executor(use_native, num_workers) as ex:
         for name, score in zip(names, ex.map(_score_pair, jobs)):
             if score is None:
                 continue
