@@ -57,6 +57,7 @@ while true; do
     timeout "$left" python -u -m text2protein_tpu.cli.train "$CONFIG" \
         --resume "$WORKDIR" --max_steps "$MAX_STEPS" >> "$LOG" 2>&1 &
     trainer=$!
+    echo "$trainer" > "$LOG.trainer.pid"
 
     # ---- watchdog: wait for exit, or kill on log staleness
     rc=""
