@@ -3,6 +3,7 @@ sampling_rosetta, on synthetic data with a tiny config (the reference's full
 user journey, SURVEY.md §3)."""
 
 import pickle
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -234,6 +235,39 @@ def test_pdb_mask_conditioning_cli(workspace, trained, monkeypatch):
     with pytest.raises(AssertionError):
         sample_main([str(cfg2), str(ckpt), "--pdb", str(pdb_path),
                      "--select_length"])
+
+
+def test_quality_loop_smoke(workspace, trained, monkeypatch, tmp_path):
+    """scripts/quality_loop.py end-to-end on the tiny workdir: restore ->
+    sample -> 6D MSE -> realize (managed retries) -> TM sweeps -> report.
+    This script is the round-end evidence path (reports/quality_*.json);
+    a regression here silently costs a full eval run on hardware."""
+    import json
+    import runpy
+    import sys
+
+    root, cfg_path = workspace
+    monkeypatch.chdir(root)
+    out = tmp_path / "q.json"
+    argv = [
+        "quality_loop.py", "--workdir", str(trained),
+        "--processed", str(root / "processed"),
+        "--num_designs", "2", "--batch", "2", "--steps", "4",
+        "--restarts", "1", "--max_iter", "5", "--max_train_refs", "2",
+        "--out", str(out),
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    runpy.run_path(str(Path(__file__).parents[1] / "scripts" / "quality_loop.py"),
+                   run_name="__main__")
+    rep = json.loads(out.read_text())
+    assert rep["num_designs"] == 2 and rep["nfe"] == 8
+    assert np.isfinite(rep["mse_6d"]["avg"])
+    for k in ("tm_avg", "gt50", "lt30"):
+        assert k in rep["tm_gt"]
+    assert np.isfinite(rep["tm_novelty_vs_train"]["tm_avg"])
+    assert rep["realization_energy"]["flagged_high_energy"] <= 2
+    # per-stage artifacts persist for post-mortem assembly
+    assert (trained / "quality" / "tm-scores-gt.json").exists()
 
 
 def test_cli_sampler_hybrid(workspace, trained, monkeypatch):
