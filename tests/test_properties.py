@@ -21,6 +21,11 @@ the 1-core CI host makes per-example jit unaffordable).
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
+# Deterministic example generation: example choice must not vary between
+# CI runs (a fresh machine every round has no hypothesis example database).
+settings.register_profile("ci", derandomize=True)
+settings.load_profile("ci")
+
 from text2protein_tpu.data.featurize import get_coords6d, virtual_cb
 from text2protein_tpu.data.pdbio import read_pdb, write_backbone_pdb
 from text2protein_tpu.data.vocab import THREE_TO_ONE
