@@ -9,8 +9,13 @@ scales and never reads those tables). Reported alongside:
 
   * random baseline (uniform over 20 AAs = 5%),
   * composition baseline (always the globally most common AA),
-  * the Bayes ceiling (always each position's class-modal AA — the best any
-    designer could do against this stochastic native).
+  * the class-modal oracle ("recovery_bayes_ceiling" in the report JSON):
+    always each position's modal AA given its DISCRETE (ss, buried) class.
+    This is the Bayes limit for the class label only, NOT for the full
+    backbone: the native generator interpolates tables by CONTINUOUS burial
+    and adds charge covariation over contacts (data/synthetic_seq.py), so a
+    designer reading backbone geometry (e.g. the learned head's continuous
+    features) can and does exceed it — 45.3% vs the oracle's 41.9%.
 
 Usage:
   python scripts/eval_design.py [--n 32] [--lengths 64,96,128]
