@@ -289,3 +289,43 @@ def test_train_gen_tm_compare(tmp_path):
     s = next(iter(out["samples"].values()))
     assert 0.0 <= s["sample_min"] <= s["sample_avg"] <= s["sample_max"] <= 1.0
     assert (tmp_path / "tm-scores.json").exists()
+
+
+def test_assemble_curve(tmp_path):
+    """scripts/assemble_curve.py: eval milestones + resume-gap-robust
+    throughput from a MetricsWriter JSONL stream."""
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).parents[1] / "scripts"))
+    from assemble_curve import assemble
+
+    wd = tmp_path / "wd"
+    (wd / "tb").mkdir(parents=True)
+    (wd / "config.yml").write_text("training:\n  batch_size: 4\n")
+    rows = []
+    t = 1000.0
+    # two contiguous stretches separated by a 2-hour outage gap (which must
+    # not count toward throughput)
+    for step in range(50, 501, 50):
+        rows.append({"tag": "training_loss", "value": 1.0 / step,
+                     "step": step, "time": t})
+        t += 50.0  # 1 step/s
+    t += 7200.0
+    for step in range(550, 1001, 50):
+        rows.append({"tag": "training_loss", "value": 1.0 / step,
+                     "step": step, "time": t})
+        t += 50.0
+    rows.append({"tag": "avg_eval_loss", "value": 0.125, "step": 1000,
+                 "time": t})
+    with open(wd / "tb" / "metrics.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    rep = assemble(wd)
+    assert rep["steps_completed"] == 1000
+    # 4 samples/step at 1 step/s; the 2 h gap and the cross-gap step delta
+    # are excluded
+    assert abs(rep["throughput_samples_per_sec"] - 4.0) < 0.01
+    assert rep["eval_curve"] == [{"step": 1000, "avg_eval_loss": 0.125}]
+    assert rep["final_training_loss"] == 0.001
