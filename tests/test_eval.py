@@ -213,3 +213,24 @@ def test_coords_compare_cli(tmp_path):
     out = yaml.safe_load((tmp_path / "coords_6d_losses.yaml").read_text())
     assert out["count"] == 1
     np.testing.assert_allclose(out["avg"], 0.01, rtol=1e-5)
+
+
+def test_count_helices_tracks_ground_truth():
+    """`count_helices` (the text-contrast eval's detector) recovers the
+    generator's helix count from GT 6D maps across lengths and counts.
+    Mirrors scripts/eval_text_contrast.py step 1 at unit scale."""
+    from text2protein_tpu.data.featurize import featurize_structure
+    from text2protein_tpu.data.synthetic import helix_bundle_backbones
+    from text2protein_tpu.eval.helix_count import count_helices, helix_fraction
+
+    hits = total = 0
+    for L, nh, seed in [(64, 2, 0), (80, 3, 1), (96, 3, 2), (112, 4, 3),
+                        (128, 4, 4), (128, 5, 5)]:
+        bb = helix_bundle_backbones(L, [seed], n_helices=nh)[0]
+        c6d, _, _ = featurize_structure(bb, np.ones(L, bool),
+                                        ss_constraints=False)
+        total += 1
+        hits += int(count_helices(c6d, L) == nh)
+        # helix-bundle GT maps are overwhelmingly helical at i,i+4
+        assert helix_fraction(c6d, L) > 0.5
+    assert hits >= total - 1, f"only {hits}/{total} exact helix counts"
