@@ -377,3 +377,46 @@ def test_score_fn_ve_label_convention(ported):
     )
     diff = np.abs(s_ref - s_ours).max() / np.abs(s_ref).max()
     assert diff < 2e-5, diff
+
+
+def test_torch_export_roundtrip_and_reference_load(ported):
+    """`torch_state_from_flax_params` is the exact inverse of the import
+    port, and its output is key/shape-compatible with the reference
+    UNetModel's `load_state_dict` (the migration path back to the
+    reference's `restore_checkpoint`, `score_sde_pytorch/utils.py:11-26`)."""
+    import jax.tree_util as jtu
+
+    from text2protein_tpu.interop import (
+        flax_params_from_torch_state,
+        torch_state_from_flax_params,
+    )
+
+    tmodel, _, params = ported
+    arch = dict(num_channels=C, max_res_num=N, nf=NF, ch_mult=CH_MULT,
+                num_res_blocks=NUM_RES_BLOCKS, attn_resolutions=ATTN_RES)
+
+    state = torch_state_from_flax_params(params, **arch)
+
+    # --- bit-exact round trip back to flax
+    back = flax_params_from_torch_state(state, **arch, template=params)
+    for (pa, a), (pb, b) in zip(
+        jtu.tree_leaves_with_path(params), jtu.tree_leaves_with_path(back)
+    ):
+        assert jtu.keystr(pa) == jtu.keystr(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jtu.keystr(pa))
+
+    # --- the reference model accepts it (strict apart from the sigmas
+    # buffer, which the reference itself loads strict=False)
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in state.items()}
+    res = tmodel.load_state_dict(tensors, strict=False)
+    assert not res.unexpected_keys, res.unexpected_keys
+    assert [k for k in res.missing_keys] in ([], ["sigmas"]), res.missing_keys
+
+    # params were ported FROM tmodel, so loading the export back must leave
+    # every torch tensor unchanged
+    for k, v in tmodel.state_dict().items():
+        if k.endswith("sigmas"):
+            continue
+        np.testing.assert_array_equal(v.numpy(), state[k], err_msg=k)

@@ -26,7 +26,11 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["build_param_mapping", "flax_params_from_torch_state"]
+__all__ = [
+    "build_param_mapping",
+    "flax_params_from_torch_state",
+    "torch_state_from_flax_params",
+]
 
 
 def _t_linear(w):
@@ -45,6 +49,31 @@ def _t_conv1x1_dense(w):
 
 def _t_copy(w):
     return np.asarray(w, np.float32)
+
+
+def _inv_linear(w):
+    return np.ascontiguousarray(np.asarray(w, np.float32).T)
+
+
+def _inv_conv(w):
+    return np.ascontiguousarray(
+        np.asarray(w, np.float32).transpose(3, 2, 0, 1)
+    )
+
+
+def _inv_conv1x1_dense(w):
+    return np.ascontiguousarray(
+        np.asarray(w, np.float32).T[:, :, None, None]
+    )
+
+
+# forward transform -> inverse (torch <- flax); copies invert to themselves
+_INVERSE = {
+    _t_linear: _inv_linear,
+    _t_conv: _inv_conv,
+    _t_conv1x1_dense: _inv_conv1x1_dense,
+    _t_copy: _t_copy,
+}
 
 
 # kind -> [(flax_leaf, torch_suffix, transform)]
@@ -258,3 +287,68 @@ def flax_params_from_torch_state(
         raise ValueError(f"torch state dict keys not consumed by the "
                          f"mapping: {unused[:8]}{'...' if len(unused) > 8 else ''}")
     return params
+
+def torch_state_from_flax_params(
+    params,
+    num_channels: int,
+    max_res_num: int,
+    nf: int,
+    ch_mult,
+    num_res_blocks: int,
+    attn_resolutions,
+    sigmas=None,
+):
+    """Export a Flax `params` pytree to a reference-format torch state dict
+    (plain `{key: np.float32 array}` — `torch.save`-able as-is after an
+    optional `torch.from_numpy` map). Exact inverse of
+    `flax_params_from_torch_state`: porting the result back reproduces the
+    input tree bit-for-bit (tested), so TPU-trained checkpoints can be
+    consumed by the reference's `restore_checkpoint`
+    (`/root/reference/score_sde_pytorch/utils.py:11-26`, model load is
+    strict=False so the absent `sigmas` buffer is tolerated; pass `sigmas`
+    to emit it explicitly).
+
+    Every flax leaf must be consumed by the mapping — an unexported leaf
+    means architecture drift and would silently produce a numerically wrong
+    checkpoint.
+    """
+    mapping = build_param_mapping(
+        num_channels, max_res_num, nf, ch_mult, num_res_blocks,
+        attn_resolutions,
+    )
+    state = {}
+    consumed = set()
+    for flax_path, tkey, kind in mapping:
+        node = params
+        for part in flax_path:
+            if part not in node:
+                raise KeyError(
+                    f"flax params missing {'/'.join(flax_path)} "
+                    f"(wanted for torch key {tkey})"
+                )
+            node = node[part]
+        for leaf, suffix, transform in _KINDS[kind]:
+            if leaf not in node:
+                raise KeyError(f"{'/'.join(flax_path)} has no leaf {leaf}")
+            state[f"{tkey}.{suffix}"] = _INVERSE[transform](node[leaf])
+            consumed.add(flax_path + (leaf,))
+
+    import jax.tree_util as jtu
+
+    all_leaves = {
+        tuple(
+            k.key for k in p
+        ): None
+        for p, _ in jtu.tree_leaves_with_path(params)
+    }
+    unexported = sorted(
+        "/".join(p) for p in set(all_leaves) - consumed
+    )
+    if unexported:
+        raise ValueError(
+            f"flax leaves not covered by the export mapping: "
+            f"{unexported[:8]}{'...' if len(unexported) > 8 else ''}"
+        )
+    if sigmas is not None:
+        state["sigmas"] = np.asarray(sigmas, np.float32)
+    return state
