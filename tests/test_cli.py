@@ -298,3 +298,92 @@ def test_cli_sampler_hybrid(workspace, trained, monkeypatch):
         sample = pickle.load(f)
     assert sample.shape[1] == 5 and sample.shape[2] == 16
     assert np.isfinite(sample).all()
+
+
+def test_serve_cli(workspace, trained, monkeypatch):
+    """cli.serve: start the HTTP server on a random port against the tiny
+    trained checkpoint, hit /healthz and /v1/sample (two concurrent requests
+    so the micro-batcher exercises its fill-the-batch path, plus one
+    realized request), and check the 6D payload round-trips."""
+    import base64
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    root, cfg_path = workspace
+    monkeypatch.chdir(root)
+    ckpt = trained / "checkpoints" / "best_eval"
+
+    from text2protein_tpu.cli.serve import _Server, build_parser, main
+
+    args = build_parser().parse_args(
+        [str(cfg_path), str(ckpt), "--batch_size", "2", "--num_steps", "4",
+         "--port", "0", "--realize", "--max_wait_ms", "200"]
+    )
+    # build through main() so the wiring (handler injection, warmup path)
+    # is what production runs; port 0 => ephemeral
+    import text2protein_tpu.cli.serve as serve_mod
+
+    server_obj = _Server(args)
+    handler = type("H", (serve_mod._Handler,), {"server_obj": server_obj})
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = _json.loads(r.read())
+        assert health["status"] == "ok"
+        assert health["max_res_num"] == 16
+
+        def post(payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/sample",
+                data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return _json.loads(r.read())
+
+        # two concurrent requests -> one batched dispatch of the B=2 graph
+        results = [None, None]
+
+        def worker(i, L):
+            results[i] = post({"caption": f"helix {i}", "length": L,
+                               "seed": 7})
+
+        threads = [threading.Thread(target=worker, args=(i, L))
+                   for i, L in enumerate((12, 10))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        for i, L in enumerate((12, 10)):
+            z = np.load(io.BytesIO(
+                base64.b64decode(results[i]["coords_6d_b64"])))
+            cnn = z["coords_6d"]
+            assert cnn.shape == (5, 16, 16)
+            # the length condition clamps the padding channel to [:L, :L]
+            assert float(cnn[-1][:L, :L].mean()) == 1.0
+            assert float(cnn[-1][L:, L:].sum()) == 0.0
+            assert np.isfinite(cnn).all()
+            assert results[i]["nfe"] == 8
+
+        # realized request returns a PDB with L residues
+        out = post({"caption": "x", "length": 8, "realize": True})
+        assert "pdb" in out and out["pdb"].count(" CA ") == 8
+        assert np.isfinite(out["energy"])
+
+        # validation error path
+        try:
+            post({"length": 9999})
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()

@@ -137,8 +137,8 @@ def read_pdb(path) -> Structure:
     return Structure(residues=residues, num_models=num_models)
 
 
-def write_backbone_pdb(path, coords, seq=None, chain="A"):
-    """Write an (L, k, 3) backbone coordinate array as a PDB file.
+def format_backbone_pdb(coords, seq=None, chain="A") -> str:
+    """Render an (L, k, 3) backbone coordinate array as PDB text.
 
     k=3 writes N/CA/C (the record layout `/root/reference/dataset.py:204-223`
     extracts); k=4 adds O. `seq` is a 1-letter string (defaults to polyalanine).
@@ -168,4 +168,9 @@ def write_backbone_pdb(path, coords, seq=None, chain="A"):
             serial += 1
     lines.append("TER")
     lines.append("END")
-    Path(path).write_text("\n".join(lines) + "\n")
+    return "\n".join(lines) + "\n"
+
+
+def write_backbone_pdb(path, coords, seq=None, chain="A"):
+    """`format_backbone_pdb` to a file."""
+    Path(path).write_text(format_backbone_pdb(coords, seq=seq, chain=chain))
