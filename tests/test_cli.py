@@ -354,8 +354,7 @@ def test_serve_cli(workspace, trained, monkeypatch):
         results = [None, None]
 
         def worker(i, L):
-            results[i] = post({"caption": f"helix {i}", "length": L,
-                               "seed": 7})
+            results[i] = post({"caption": f"helix {i}", "length": L})
 
         threads = [threading.Thread(target=worker, args=(i, L))
                    for i, L in enumerate((12, 10))]
@@ -373,6 +372,15 @@ def test_serve_cli(workspace, trained, monkeypatch):
             assert float(cnn[-1][L:, L:].sum()) == 0.0
             assert np.isfinite(cnn).all()
             assert results[i]["nfe"] == 8
+
+        # an explicit seed is reproducible regardless of co-batched traffic
+        a = post({"caption": "helix", "length": 12, "seed": 7})
+        bth = threading.Thread(
+            target=lambda: post({"caption": "noise", "length": 9}))
+        bth.start()
+        b2 = post({"caption": "helix", "length": 12, "seed": 7})
+        bth.join()
+        assert a["coords_6d_b64"] == b2["coords_6d_b64"]
 
         # realized request returns a PDB with L residues
         out = post({"caption": "x", "length": 8, "realize": True})

@@ -138,17 +138,27 @@ class _Server:
             return self.counter
 
     def _loop(self):
+        pending = []
         while True:
-            slots = [self.q.get()]  # block for the first request
-            deadline = time.monotonic() + self.max_wait_s
-            while len(slots) < self.b:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                try:
-                    slots.append(self.q.get(timeout=remaining))
-                except queue.Empty:
-                    break
+            slots = [pending.pop(0) if pending else self.q.get()]
+            # A request with an explicit seed is dispatched in its OWN batch:
+            # the whole batch samples under one PRNG key, so reproducibility
+            # of a seeded request must not depend on who it shares a batch
+            # with. Unseeded requests micro-batch freely.
+            if "seed" not in slots[0]["req"]:
+                deadline = time.monotonic() + self.max_wait_s
+                while len(slots) < self.b:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    try:
+                        nxt = self.q.get(timeout=remaining)
+                    except queue.Empty:
+                        break
+                    if "seed" in nxt["req"]:
+                        pending.append(nxt)  # runs in its own next batch
+                    else:
+                        slots.append(nxt)
             try:
                 results = self._run_batch([s["req"] for s in slots])
             except Exception as e:  # surface the error to every waiter
