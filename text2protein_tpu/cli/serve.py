@@ -116,7 +116,11 @@ class _Server:
         self.platform = jax.devices()[0].platform
 
         self.q: queue.Queue = queue.Queue()
-        self.counter = 0
+        # entropy base: unseeded requests must not replay the same samples
+        # after a server restart (explicit seeds remain fully reproducible)
+        import os
+
+        self.counter = int.from_bytes(os.urandom(4), "little")
         self.lock = threading.Lock()
         self.max_wait_s = args.max_wait_ms / 1000.0
         self.worker = threading.Thread(target=self._loop, daemon=True)
