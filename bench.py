@@ -3,18 +3,91 @@
 The north-star metric from BASELINE.json (the reference publishes no numbers;
 target >= 25 samples/min/chip on TPU v5e). Runs the flagship text-conditioned
 L=128 sampler (VESDE, reverse-diffusion predictor + 1 Langevin corrector step,
-NFE = 2 per PC step) end-to-end on the available device and prints ONE JSON
-line: {"metric", "value", "unit", "vs_baseline"}.
+NFE = 2 per PC step) end-to-end on the available device and prints its JSON
+metric line: {"metric", "value", "unit", "vs_baseline"}.
+
+The evidence chain is built to survive a driver timeout on a degraded tunnel
+(round 3 lost its number to rc=124 — a 21.5 min first compile outlived the
+driver's budget while the process printed nothing):
+  1. a result recorded by a previous successful run this round
+     (reports/bench_last.json) is re-emitted IMMEDIATELY at startup, flagged
+     {"provisional": true, "cached": <timestamp>} — parseable before jax is
+     even imported;
+  2. a live provisional line (same flag, no "cached") is emitted after the
+     FIRST timed repeat — a real steady-state measurement;
+  3. the final unflagged line is emitted after all repeats and overwrites the
+     record file. Consumers should take the LAST line printed.
+SIGTERM/SIGINT re-flush the best-known line before exiting, and --budget_s
+cuts remaining repeats when the wall budget is nearly spent.
 
 Usage: python bench.py [--steps 1000] [--batch 16] [--repeats 2] [--quick]
 """
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+_BEST_LINE = {"line": None}
+
+
+def emit(obj):
+    """Print a metric line; remember it for the SIGTERM flush."""
+    line = json.dumps(obj)
+    _BEST_LINE["line"] = line
+    print(line, flush=True)
+
+
+def install_signal_flush():
+    import signal
+
+    def handler(signum, frame):
+        if _BEST_LINE["line"] is not None:
+            print(_BEST_LINE["line"], flush=True)
+        sys.stdout.flush()
+        raise SystemExit(0)
+
+    signal.signal(signal.SIGTERM, handler)
+    signal.signal(signal.SIGINT, handler)
+
+
+def result_signature(args):
+    """The arg subset that must match for a recorded result to be reusable."""
+    return {
+        "metric_kind": args.metric, "sampler": args.sampler,
+        "steps": args.steps, "batch": args.batch, "dtype": args.dtype,
+        "param_dtype": args.param_dtype, "norm_dtype": args.norm_dtype,
+        "config": args.config, "quick": bool(args.quick),
+    }
+
+
+def emit_cached_record(path, sig):
+    """Re-emit a same-signature result recorded earlier this round (the
+    record file lives on the round's machine, not in git — it is always a
+    real measurement from this hardware)."""
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        if rec.get("sig") == sig and isinstance(rec.get("result"), dict):
+            emit({**rec["result"], "provisional": True,
+                  "cached": rec.get("when")})
+    except (OSError, ValueError):
+        pass
+
+
+def write_record(path, sig, result):
+    try:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"sig": sig, "result": result,
+                       "when": time.strftime("%Y-%m-%dT%H:%M:%S")}, f)
+        os.replace(tmp, path)
+    except OSError as e:
+        print(f"# record write failed: {e}", file=sys.stderr)
 
 
 def main():
@@ -61,7 +134,22 @@ def main():
                    help="force a jax platform (e.g. cpu — note the env var "
                         "JAX_PLATFORMS is ignored once the axon plugin is "
                         "present; this uses jax.config)")
+    p.add_argument("--budget_s", type=float, default=None,
+                   help="wall-clock budget: skip remaining timed repeats "
+                        "when fewer than ~1.2 repeat-times remain")
+    p.add_argument("--record", type=str, default="reports/bench_last.json",
+                   help="round-local result cache re-emitted as a "
+                        "provisional line at startup (see module docstring)")
+    p.add_argument("--no_record", action="store_true",
+                   help="neither read nor write --record")
     args = p.parse_args()
+
+    t_start = time.time()
+    install_signal_flush()
+    sig = result_signature(args)
+    rec_path = None if args.no_record else args.record
+    if rec_path:
+        emit_cached_record(rec_path, sig)
 
     import jax
 
@@ -159,35 +247,58 @@ def main():
                        context=context, context_mask=context_mask)
     np.asarray(out)
 
+    n_chips = jax.local_device_count()
+    baseline = 25.0  # BASELINE.json north star
+    if args.sampler == "hybrid":
+        metric = f"L{n}_samples_per_min_per_chip_hybrid_nfe{int(nfe)}"
+    else:
+        metric = f"L{n}_samples_per_min_per_chip_at_{args.steps}_pc_steps"
+
+    def make_result(dt, provisional=False):
+        spm = b / dt * 60.0 / n_chips
+        res = {
+            "metric": metric,
+            "value": round(spm, 3),
+            "unit": "samples/min/chip",
+            # hybrid runs a different NFE budget than the north-star metric
+            "vs_baseline": (None if args.sampler == "hybrid"
+                            else round(spm / baseline, 3)),
+        }
+        if provisional:
+            res["provisional"] = True
+        return res
+
     times = []
+    out_host = None
     for r in range(args.repeats):
+        if times and args.budget_s is not None:
+            projected = time.time() - t_start + 1.2 * min(times)
+            if projected > args.budget_s:
+                print(f"# budget_s={args.budget_s} nearly spent after "
+                      f"{len(times)} repeat(s); skipping the rest",
+                      file=sys.stderr)
+                break
         t0 = time.perf_counter()
         out, nfe = sampler(params, jax.random.PRNGKey(r + 1),
                            condition=condition, context=context,
                            context_mask=context_mask)
         out_host = np.asarray(out)  # host transfer = true device sync
         times.append(time.perf_counter() - t0)
+        if r == 0 and args.repeats > 1:
+            # first real steady-state measurement: get a parseable line out
+            # before the remaining repeats risk the driver's timeout
+            emit(make_result(times[0], provisional=True))
 
     assert np.isfinite(out_host).all(), "sampler produced non-finite values"
     dt = min(times)
-    n_chips = jax.local_device_count()
-    samples_per_min_per_chip = b / dt * 60.0 / n_chips
-    baseline = 25.0  # BASELINE.json north star
-    if args.sampler == "hybrid":
-        metric = f"L{n}_samples_per_min_per_chip_hybrid_nfe{int(nfe)}"
-        vs_baseline = None  # different NFE budget than the north-star metric
-    else:
-        metric = f"L{n}_samples_per_min_per_chip_at_{args.steps}_pc_steps"
-        vs_baseline = round(samples_per_min_per_chip / baseline, 3)
-    print(json.dumps({
-        "metric": metric,
-        "value": round(samples_per_min_per_chip, 3),
-        "unit": "samples/min/chip",
-        "vs_baseline": vs_baseline,
-    }))
+    result = make_result(dt)
+    emit(result)
+    if rec_path:
+        write_record(rec_path, sig, result)
     print(
         f"# batch={b} steps={args.steps} nfe={int(nfe)} time={dt:.2f}s "
-        f"platform={jax.devices()[0].platform} chips={n_chips}",
+        f"repeats={len(times)} platform={jax.devices()[0].platform} "
+        f"chips={n_chips}",
         file=sys.stderr,
     )
 
@@ -216,12 +327,12 @@ def bench_featurize(args):
         times.append(time.perf_counter() - t0)
     dt = min(times)
     structs_per_sec = b / dt
-    print(json.dumps({
+    emit({
         "metric": f"on_device_6d_featurize_L{L}_structs_per_sec",
         "value": round(structs_per_sec, 1),
         "unit": "structs/sec",
         "vs_baseline": None,
-    }))
+    })
     print(f"# batch={b} time={dt * 1000:.1f}ms", file=sys.stderr)
 
 
@@ -346,12 +457,12 @@ def bench_train(args):
     # MFU vs TPU v5e peak (197 TFLOP/s bf16; f32 runs the MXU at half rate)
     peak = 197e12 if args.dtype == "bfloat16" else 98.5e12
     mfu = step_flops / dt / (peak * n_chips) if step_flops else None
-    print(json.dumps({
+    emit({
         "metric": f"L{n}_train_samples_per_sec_per_chip",
         "value": round(b * k / dt / n_chips, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": None,
-    }))
+    })
     print(
         f"# batch={b} steps_per_launch={k} launch_time={dt * 1000:.1f}ms"
         + (f" launch_flops={step_flops:.3e} MFU={100 * mfu:.1f}%"

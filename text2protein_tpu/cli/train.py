@@ -156,6 +156,12 @@ def main(argv=None):
         arrays["context_mask"] = np.asarray(emb_mask)
         return arrays
 
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import put_array
+
+    stacked_sharding = NamedSharding(mesh, P(None, "data"))
+
     def prepare_stacked(group, rng_keys):
         hosts = [prepare_host(b, k) for b, k in zip(group, rng_keys)]
         # caption token counts land in per-batch buckets (text encoders pad
@@ -172,12 +178,81 @@ def main(argv=None):
         stacked = {
             k: np.stack([h[k] for h in hosts]) for k in hosts[0]
         }
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        return {k: put_array(v, stacked_sharding) for k, v in stacked.items()}
 
-        from ..parallel.mesh import put_array
+    # ---- resident prep path (featurize_on_device + fused launches):
+    # featurization and caption-context lookup run as their OWN device launch,
+    # so the fused K-step train program is exactly the bench's (which fits
+    # B=8 + remat at N=256; featurize folded into the scan OOM'd it by 213M),
+    # and the per-launch host->device transfer drops from ~21 MB of f32
+    # context embeddings (7 s at the tunnel's ~3 MB/s) to ~1 MB of backbone
+    # coords + int32 record indices. The per-record caption embeddings are
+    # encoded ONCE at startup and kept on device as a bf16 table.
+    resident_prep = bool(config.data.get("featurize_on_device", False))
 
-        sharding = NamedSharding(mesh, P(None, "data"))
-        return {k: put_array(v, sharding) for k, v in stacked.items()}
+    def build_context_table():
+        caps = [dataset.caption(i) for i in range(n_total)]
+        embs, masks = [], []
+        for i in range(0, len(caps), 64):
+            e, m = encoder.encode(caps[i:i + 64])
+            embs.append(np.asarray(e))
+            masks.append(np.asarray(m))
+        t_max = max(e.shape[1] for e in embs)
+        embs = [np.pad(e, ((0, 0), (0, t_max - e.shape[1]), (0, 0)))
+                for e in embs]
+        masks = [np.pad(m, ((0, 0), (0, t_max - m.shape[1]))) for m in masks]
+        from ..parallel.mesh import replicate_sharding
+
+        table = put_array(
+            np.concatenate(embs).astype(jnp.bfloat16),
+            replicate_sharding(mesh),
+        )
+        mask_table = put_array(
+            np.concatenate(masks).astype(bool), replicate_sharding(mesh)
+        )
+        return table, mask_table
+
+    if resident_prep:
+        ctx_table, ctx_mask_table = build_context_table()
+        from ..data.featurize import featurize_batch_jax
+
+        num_channels = int(config.data.num_channels)
+
+        def _prep(light, table, mask_table):
+            k, b_ = light["bb"].shape[:2]
+            flat = lambda x: x.reshape((k * b_,) + x.shape[2:])  # noqa: E731
+            coords_6d, mask_pair = featurize_batch_jax(
+                flat(light["bb"]), flat(light["mask_res"]), num_channels,
+                ss_block=(flat(light["ss_block"])
+                          if "ss_block" in light else None),
+            )
+            unflat = lambda x: x.reshape((k, b_) + x.shape[1:])  # noqa: E731
+            out = {
+                "coords_6d": unflat(coords_6d),
+                "mask_pair": unflat(mask_pair),
+                "ss_spans": light["ss_spans"],
+                "length": light["length"],
+                "context": table[light["index"]].astype(jnp.float32),
+                "context_mask": mask_table[light["index"]],
+            }
+            if "mask_inpaint" in light:
+                out["mask_inpaint"] = light["mask_inpaint"]
+            return out
+
+        prep_jit = jax.jit(_prep, out_shardings=stacked_sharding)
+
+        def prepare_stacked_resident(group, rng_keys):
+            hosts = []
+            for b, k in zip(group, rng_keys):
+                arrays = batch_to_device_arrays(b, config, rng=k, device=False)
+                arrays["index"] = np.asarray(b["index"], np.int32)
+                hosts.append(arrays)
+            stacked = {k: np.stack([h[k] for h in hosts]) for k in hosts[0]}
+            light = {k: put_array(v, stacked_sharding)
+                     for k, v in stacked.items()}
+            return prep_jit(light, ctx_table, ctx_mask_table)
+
+        prepare_stacked = prepare_stacked_resident  # noqa: F811
 
     first = next(batches(dataset, train_idx, bs, max_len, host_rng,
                          host_id=host_id, host_count=host_count))

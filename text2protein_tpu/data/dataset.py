@@ -265,6 +265,17 @@ class ProteinProcessedDataset:
     def __getitem__(self, idx):
         return load_record(self.root_path / self.data_paths[idx])
 
+    def caption(self, idx) -> str:
+        """Caption-only record read. For .npz this decompresses just the
+        caption member (np.load is lazy per member) — used to build the
+        resident on-device context table at trainer startup without paying
+        a full-corpus coords_6d read (cli/train.py)."""
+        path = self.root_path / self.data_paths[idx]
+        if str(path).endswith(".pt"):
+            return load_record(path)["caption"]
+        with np.load(path, allow_pickle=False) as z:
+            return str(z["caption"])
+
 
 class PaddingCollate:
     """Pad records to `max_len` and stack. Square (…, N, N) maps are padded on

@@ -53,6 +53,10 @@ class PrefetchLoader:
                     break
                 recs = [self.dataset[int(j)] for j in chunk]
                 batch = make_batch(recs, self.max_len)
+                # global dataset indices — lets consumers gather per-record
+                # device-resident data (e.g. the context-embedding table in
+                # cli/train.py) instead of re-shipping it every step
+                batch["index"] = np.asarray(chunk, dtype=np.int32)
                 if self.prepare_fn is not None:
                     batch = self.prepare_fn(batch)
                 q.put(batch)
