@@ -44,7 +44,16 @@ def main():
                    help="use GT backbones from this processed-records dir "
                         "instead of generating fresh ones")
     p.add_argument("--out", type=str, default="reports/design_recovery.json")
+    p.add_argument("--platform", type=str, default="cpu",
+                   help="jax platform for backbone generation (default cpu: "
+                        "this eval must never contend with a training run "
+                        "on the one TPU chip; JAX_PLATFORMS env is ignored "
+                        "once the axon plugin is present)")
     args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", args.platform)
 
     from text2protein_tpu.data.synthetic_seq import native_like_sequence
     from text2protein_tpu.realize.design import AA20, design_sequence
@@ -96,6 +105,7 @@ def main():
 
     tables = _table(args.temperature)  # constant across backbones
     rec_design, rec_bayes, rec_comp, rec_learned = [], [], [], []
+    designed_cache, pred_cache = [], []  # reused by the OOD control pass
     confusion = Counter()
     t0 = time.time()
     for k, bb in enumerate(backbones):
@@ -103,8 +113,10 @@ def main():
             bb, seed=args.seed + 17 * k, temperature=args.temperature
         )
         designed, _ = design_sequence(bb, seed=args.seed + 17 * k)
+        designed_cache.append(designed)
         if head is not None:
             pred = head.design(bb)
+            pred_cache.append(pred)
             rec_learned.append(
                 float(np.mean([a == b for a, b in zip(native, pred)]))
             )
@@ -129,6 +141,33 @@ def main():
                   f"(recovery so far {np.mean(rec_design):.3f}, "
                   f"{time.time() - t0:.0f}s)")
 
+    # ---- out-of-family control (VERDICT r3 weak #4): natives from a
+    # generator variant the learned head never trained on — Dirichlet-
+    # perturbed composition tables AND a different temperature. The designer
+    # and head read only backbone geometry, so their outputs are reused;
+    # only the natives (and the class-modal oracle, which is defined per
+    # generator) change.
+    from text2protein_tpu.data.synthetic_seq import perturbed_class_freq
+
+    ood_temp = args.temperature * 1.6
+    ood_tables_raw = perturbed_class_freq(seed=1234)
+    ood_tables = _table(ood_temp, freq_tables=ood_tables_raw)
+    ood_design, ood_bayes, ood_learned = [], [], []
+    for k, bb in enumerate(backbones):
+        native, classes, _ = native_like_sequence(
+            bb, seed=args.seed + 900_000 + 17 * k, temperature=ood_temp,
+            freq_tables=ood_tables_raw,
+        )
+        n = np.frombuffer(native.encode(), np.uint8)
+        d = np.frombuffer(designed_cache[k].encode(), np.uint8)
+        ood_design.append(float((n == d).mean()))
+        bayes = "".join(AA20[int(np.argmax(ood_tables[c]))] for c in classes)
+        b = np.frombuffer(bayes.encode(), np.uint8)
+        ood_bayes.append(float((n == b).mean()))
+        if pred_cache:
+            ood_learned.append(float(np.mean(
+                [a == p for a, p in zip(native, pred_cache[k])])))
+
     top_conf = sorted(confusion.items(), key=lambda kv: -kv[1])[:25]
     report = {
         "n_backbones": len(backbones),
@@ -139,8 +178,29 @@ def main():
         "recovery_learned_head": (
             round(float(np.mean(rec_learned)), 4) if rec_learned else None),
         "recovery_bayes_ceiling": round(float(np.mean(rec_bayes)), 4),
+        "bayes_ceiling_note": (
+            "class-modal oracle over the DISCRETE (ss, buried) label only — "
+            "NOT a bound for designers that read backbone geometry: the "
+            "generator interpolates tables by CONTINUOUS burial and adds "
+            "charge covariation over contacts (data/synthetic_seq.py), so "
+            "the learned head's continuous features can and do exceed it"
+        ),
         "recovery_composition_baseline": round(float(np.mean(rec_comp)), 4),
         "recovery_random_baseline": 0.05,
+        "ood_control": {
+            "note": (
+                "natives from a generator variant the learned head never "
+                "trained on: Dirichlet-perturbed composition tables "
+                "(seed 1234, alpha = p*60) and temperature x1.6; designer/"
+                "head outputs reused (they read only geometry)"
+            ),
+            "temperature": round(ood_temp, 4),
+            "recovery_learned_head": (
+                round(float(np.mean(ood_learned)), 4) if ood_learned
+                else None),
+            "recovery_designed": round(float(np.mean(ood_design)), 4),
+            "recovery_class_modal": round(float(np.mean(ood_bayes)), 4),
+        },
         "top_native_to_designed": [
             {"native": a, "designed": b, "count": c} for (a, b), c in top_conf
         ],

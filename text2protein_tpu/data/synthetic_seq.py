@@ -72,13 +72,28 @@ _CLASS_FREQ = {
 }
 
 
-def _table(temperature: float) -> dict:
+def _table(temperature: float, freq_tables: dict | None = None) -> dict:
     out = {}
-    for key, freq in _CLASS_FREQ.items():
+    for key, freq in (freq_tables or _CLASS_FREQ).items():
         p = np.array([freq.get(a, 0.0) for a in AA20], np.float64)
         p = np.maximum(p, 1e-6)
         p = p ** (1.0 / temperature)
         out[key] = p / p.sum()
+    return out
+
+
+def perturbed_class_freq(seed: int, concentration: float = 60.0) -> dict:
+    """An out-of-family composition prior for held-out controls: each class
+    distribution is resampled from a Dirichlet centered on the base table
+    (alpha = p * concentration). Same physics family, different numbers —
+    a generator variant no head trained on base tables has seen
+    (scripts/eval_design.py --ood, VERDICT r3 weak #4)."""
+    rng = np.random.RandomState(seed)
+    out = {}
+    for key, freq in _CLASS_FREQ.items():
+        p = np.array([max(freq.get(a, 0.0), 1e-4) for a in AA20], np.float64)
+        q = rng.dirichlet(p * concentration)
+        out[key] = {a: float(q[i]) for i, a in enumerate(AA20)}
     return out
 
 
@@ -92,7 +107,8 @@ _CHG = np.array(
 
 def native_like_sequence(bb: np.ndarray, seed: int = 0,
                          temperature: float = 0.6,
-                         charge_coupling: float = 0.7):
+                         charge_coupling: float = 0.7,
+                         freq_tables: dict | None = None):
     """Sample one native-like sequence for an (L, 3, 3) backbone.
 
     Realism beyond class composition: (a) burial is CONTINUOUS — each
@@ -115,7 +131,7 @@ def native_like_sequence(bb: np.ndarray, seed: int = 0,
         key: np.maximum(
             np.array([freq.get(a, 0.0) for a in AA20], np.float64), 1e-6
         )
-        for key, freq in _CLASS_FREQ.items()
+        for key, freq in (freq_tables or _CLASS_FREQ).items()
     }
     ss = annotate_sse(bb[:, 1])
     burial = burial_fraction(bb)
