@@ -55,12 +55,25 @@ def main():
                    help="force a jax platform (e.g. cpu) — the default "
                         "backend wins otherwise, and a dead TPU tunnel "
                         "hangs backend init")
+    p.add_argument("--phase", type=str, default="both",
+                   choices=["both", "sample", "post"],
+                   help="'sample' = restore + sample on the device, save "
+                        "maps to --samples_npz, exit; 'post' = load "
+                        "--samples_npz and run realize/TM/report on the CPU "
+                        "(no device work — safe to overlap the next TPU "
+                        "job); 'both' = the classic single-process run")
+    p.add_argument("--samples_npz", type=str, default=None,
+                   help="sample-phase output / post-phase input (default: "
+                        "<workdir>/quality/samples.npz)")
     args = p.parse_args()
 
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    elif args.phase == "post":
+        # post is pure host work; never let it touch (or contend for) the TPU
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from text2protein_tpu.config import load_config
@@ -106,6 +119,22 @@ def main():
             records.append(rec)
     assert records, f"no test records found under {processed}"
     print(f"{len(records)} test records; sampling {args.num_designs} designs")
+
+    samples_npz = Path(args.samples_npz
+                       or workdir / "quality" / "samples.npz")
+
+    if args.phase == "post":
+        with np.load(samples_npz, allow_pickle=False) as z:
+            cnns_all = z["samples"]
+            ids = [str(x) for x in z["ids"]]
+            step_trained = int(z["step_trained"])
+            nfe = int(z["nfe"])
+            sample_time = float(z["sample_time"])
+        by_id = {r["id"]: r for r in records}
+        designs = [(by_id[i], cnn) for i, cnn in zip(ids, cnns_all)]
+        print(f"post phase: {len(designs)} sampled maps from {samples_npz}")
+        return _post(args, workdir, processed, config, designs, train_ids,
+                     step_trained, nfe, sample_time)
 
     # --- restore the trained state ------------------------------------------
     sde, eps = get_sde(config)
@@ -167,6 +196,47 @@ def main():
               f"({time.time() - t0:.0f}s elapsed)")
     designs = designs[: args.num_designs]
     sample_time = time.time() - t0
+
+    if args.phase == "sample":
+        samples_npz.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            samples_npz,
+            samples=np.stack([cnn for _, cnn in designs]),
+            ids=np.asarray([rec["id"] for rec, _ in designs]),
+            step_trained=step_trained,
+            nfe=int(nfe),
+            sample_time=sample_time,
+        )
+        print(f"sample phase done -> {samples_npz} "
+              f"({sample_time:.0f}s for {len(designs)} designs)")
+        return None
+    return _post(args, workdir, processed, config, designs, train_ids,
+                 step_trained, int(nfe), sample_time)
+
+
+def _post(args, workdir, processed, config, designs, train_ids,
+          step_trained, nfe, sample_time):
+    """Realize + TM + report: pure host work (CPU realization, native
+    TM-align); runs as its own process via --phase post so it can overlap
+    the next job's device time."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from text2protein_tpu.data import load_record
+    from text2protein_tpu.data.pdbio import write_backbone_pdb
+    from text2protein_tpu.eval.coords_compare import mse_6d
+    from text2protein_tpu.eval.tm_sweeps import (
+        gt_gen_tm_compare,
+        train_gen_tm_compare,
+    )
+    from text2protein_tpu.realize.minimize import realize_batch_managed
+    from pathlib import Path
+
+    n = config.data.max_res_num
+    c = config.data.num_channels
+    rng = np.random.RandomState(args.seed)
 
     # --- 6D MSE vs ground truth (reference semantics: all channels, record-
     # length crop) -------------------------------------------------------------
@@ -273,7 +343,10 @@ def main():
             "flagged_ids": [designs[i][0]["id"]
                             for i in np.nonzero(flagged)[0]],
         },
-        "platform": jax.devices()[0].platform,
+        # in a split run the sampling platform is whatever ran --phase
+        # sample; this process may be CPU-only post-processing
+        "platform": (jax.devices()[0].platform if args.phase == "both"
+                     else "split(sample=device, post=cpu)"),
     }
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
