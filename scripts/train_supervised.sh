@@ -31,7 +31,11 @@ WATCH_INTERVAL="${WATCH_INTERVAL:-60}"
 START=$(date +%s)
 
 probe_tpu() {
-    timeout 300 python - <<'EOF' >/dev/null 2>&1
+    # 600s: the FIRST program on a cold/degraded tunnel has taken 253s, and
+    # per-process tunnel session setup alone has run 7+ min on a degraded
+    # day (CLAUDE.md) — a 300s probe false-negatives and starves the retry
+    # loop while the device is actually fine.
+    timeout "${PROBE_TIMEOUT_S:-600}" python - <<'EOF' >/dev/null 2>&1
 import jax, numpy as np
 x = jax.numpy.ones((128, 128))
 assert float(np.asarray(x @ x)[0, 0]) == 128.0
