@@ -191,19 +191,23 @@ def main():
         })
         print(json.dumps(rows[-1]))
 
-    report = {
-        "workdir": str(workdir),
-        "trained_steps": step_trained,
-        "batch": bs,
-        "length": L,
-        "pc_steps": args.steps,
-        "per_scale": rows,
-        "platform": jax.devices()[0].platform,
-    }
-    out = Path(args.out)
-    out.parent.mkdir(parents=True, exist_ok=True)
-    with open(out, "w") as f:
-        json.dump(report, f, indent=2)
+        # write incrementally: a round-end kill mid-sweep keeps every
+        # completed scale's evidence on disk
+        report = {
+            "workdir": str(workdir),
+            "trained_steps": step_trained,
+            "batch": bs,
+            "length": L,
+            "pc_steps": args.steps,
+            "scales_requested": scales,
+            "per_scale": rows,
+            "platform": jax.devices()[0].platform,
+        }
+        out = Path(args.out)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(report, f, indent=2)
+
     print(json.dumps({k: v for k, v in report.items() if k != "per_scale"},
                      indent=2))
 

@@ -39,6 +39,27 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 SHIFT = 8
+W = 5  # helix flags are d(i, i+4) windows over residues [i, i+4]
+
+
+def window_all(m, nf, w=W):
+    """Flags whose whole w-residue window lies inside mask `m`."""
+    out = np.ones(nf, bool)
+    for o in range(w):
+        out &= m[o:o + nf]
+    return out
+
+
+def window_any(m, nf, w=W):
+    """Flags whose window touches mask `m` anywhere."""
+    out = np.zeros(nf, bool)
+    for o in range(w):
+        out |= m[o:o + nf]
+    return out
+
+
+def dilate(m, r=2):
+    return np.convolve(m.astype(int), np.ones(2 * r + 1, int), "same") > 0
 
 
 def main():
@@ -186,27 +207,9 @@ def main():
     # arms at block edges: a flag 1-4 residues before a block start reads the
     # block's geometry yet counted as "outside" (this inflated outside-block
     # helicity past in-block in the round-3 n=8 report — the negative margin
-    # VERDICT r3 weak #3 flagged). Classify by the WHOLE window instead:
-    # "inside" = all 5 residues in a span; "outside" = no residue within the
-    # 2-dilated spans.
-    W = 5
-
-    def window_all(m, nf):
-        out = np.ones(nf, bool)
-        for o in range(W):
-            out &= m[o:o + nf]
-        return out
-
-    def window_any(m, nf):
-        out = np.zeros(nf, bool)
-        for o in range(W):
-            out |= m[o:o + nf]
-        return out
-
-    def dilate(m, r=2):
-        return np.convolve(m.astype(int), np.ones(2 * r + 1, int),
-                           "same") > 0
-
+    # VERDICT r3 weak #3 flagged). Classify by the WHOLE window instead
+    # (module-level window_all/window_any/dilate): "inside" = all W residues
+    # in a span; "outside" = no residue within the 2-dilated spans.
     in_true, out_true, in_shift, vacated = [], [], [], []
     for samp_true, samp_shift, lengths_np, spans_all, spans_shift in (
             rounds_data):

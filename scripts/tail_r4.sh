@@ -1,0 +1,138 @@
+#!/bin/bash
+# Round-4 tail orchestrator: after the flagship N=256 training window closes,
+# run the round's TPU evidence sequence unattended (sessions die; background
+# jobs survive — CLAUDE.md). Steps are priority-ordered so a round-end cut
+# loses the least important evidence first:
+#   1. bench.py (headline metric + round-local record for the driver's run)
+#   2. N=256 PC quality sampling    -> CPU post phase in background
+#   3. N=256 hybrid quality sampling -> CPU post phase in background
+#   4. SS vary-placement training + window-classified placement eval
+#   5. text CFG training + cfg_scale quality-cost sweep
+# Each TPU step is gated on a liveness probe and bounded by a timeout.
+#
+# Usage: T_KILL_EPOCH=<epoch-s> scripts/tail_r4.sh   (logs /tmp/tail_r4.log)
+set -u
+cd /root/repo
+LOG=/tmp/tail_r4.log
+TLOG=/tmp/train_n256.log
+T_KILL_EPOCH="${T_KILL_EPOCH:?set T_KILL_EPOCH (epoch seconds)}"
+
+log() { echo "[tail $(date -u +%H:%M:%S)] $*" >> "$LOG"; }
+
+probe_tpu() {
+    timeout 600 python - <<'EOF' >/dev/null 2>&1
+import jax, numpy as np
+x = jax.numpy.ones((128, 128))
+assert float(np.asarray(x @ x)[0, 0]) == 128.0
+EOF
+}
+
+gate() {  # wait for a live TPU (up to ~30 min), then return
+    for i in 1 2 3; do
+        probe_tpu && return 0
+        log "TPU probe failed (try $i); sleeping 240s"
+        sleep 240
+    done
+    log "TPU still unreachable; proceeding anyway (step timeout will bound)"
+}
+
+# ---- 0. wait for the training window to close --------------------------
+log "orchestrator up; training cut at $(date -u -d @"$T_KILL_EPOCH" +%H:%M:%S)"
+while ps -p "$(cat /tmp/supervise.pid 2>/dev/null || echo 0)" >/dev/null 2>&1; do
+    now=$(date +%s)
+    [ "$now" -ge "$T_KILL_EPOCH" ] && break
+    sleep 60
+done
+
+if ps -p "$(cat /tmp/supervise.pid 2>/dev/null || echo 0)" >/dev/null 2>&1; then
+    # don't kill mid-save: orbax swaps are crash-safe but a completed save is
+    # worth up to 2000 steps of eval evidence
+    for i in $(seq 1 40); do
+        last=$(tail -n 1 "$TLOG" 2>/dev/null)
+        case "$last" in
+            *"saving meta checkpoint"*|*"saving best checkpoint"*)
+                log "save in flight; waiting"; sleep 30 ;;
+            *) break ;;
+        esac
+    done
+    log "stopping supervisor + trainer"
+    kill "$(cat /tmp/supervise.pid)" 2>/dev/null
+    kill "$(cat "$TLOG.trainer.pid" 2>/dev/null || echo 99999999)" 2>/dev/null
+    sleep 10
+    kill -9 "$(cat "$TLOG.trainer.pid" 2>/dev/null || echo 99999999)" 2>/dev/null
+    sleep 5
+fi
+log "training window closed; last trainer lines:"
+grep -v "cpu_aot\|WARNING" "$TLOG" 2>/dev/null | tail -4 >> "$LOG"
+
+# ---- 1. headline bench (writes reports/bench_last.json for the driver) --
+gate
+log "bench: L=128 PC"
+timeout 2700 python bench.py --repeats 2 >> "$LOG" 2>/dev/null
+log "bench rc=$?"
+
+# ---- 2. N=256 PC quality: sample on device, post on CPU ----------------
+gate
+log "N=256 PC sample phase"
+timeout 3600 python scripts/quality_loop.py \
+    --workdir training/quality_n256/r4 --num_designs 12 --batch 4 \
+    --steps 1000 --phase sample --samples_npz /tmp/n256_pc.npz \
+    >> "$LOG" 2>&1
+log "pc sample rc=$?"
+if [ -f /tmp/n256_pc.npz ]; then
+    log "N=256 PC post phase (background, cpu)"
+    nohup nice -n 5 python scripts/quality_loop.py \
+        --workdir training/quality_n256/r4 --num_designs 12 --batch 4 \
+        --steps 1000 --phase post --samples_npz /tmp/n256_pc.npz \
+        --restarts 3 --max_iter 250 --out reports/quality_n256_r4.json \
+        > /tmp/n256_pc_post.log 2>&1 &
+fi
+
+# ---- 3. N=256 hybrid quality -------------------------------------------
+gate
+log "N=256 hybrid sample phase"
+timeout 2700 python scripts/quality_loop.py \
+    --workdir training/quality_n256/r4 --num_designs 12 --batch 4 \
+    --sampler hybrid --phase sample --samples_npz /tmp/n256_hy.npz \
+    >> "$LOG" 2>&1
+log "hybrid sample rc=$?"
+if [ -f /tmp/n256_hy.npz ]; then
+    log "N=256 hybrid post phase (background, cpu)"
+    nohup nice -n 5 python scripts/quality_loop.py \
+        --workdir training/quality_n256/r4 --num_designs 12 --batch 4 \
+        --sampler hybrid --phase post --samples_npz /tmp/n256_hy.npz \
+        --restarts 3 --max_iter 250 \
+        --out reports/quality_n256_hybrid_r4.json \
+        > /tmp/n256_hy_post.log 2>&1 &
+fi
+
+# ---- 4. SS vary-placement: train + placement-specificity eval ----------
+gate
+log "SS-vp training (12k steps)"
+timeout 3000 python -u -m text2protein_tpu.cli.train \
+    configs/quality_ss_vp.yml --resume training/quality_ss_vp/r4 \
+    --max_steps 12000 >> "$LOG" 2>&1
+log "ss train rc=$?"
+gate
+log "SS placement eval (n=32)"
+timeout 2700 python scripts/eval_ss_spec.py \
+    --workdir training/quality_ss_vp/r4 --rounds 2 --batch 16 \
+    --steps 1000 --out reports/quality_ss_spec_vp.json >> "$LOG" 2>&1
+log "ss eval rc=$?"
+
+# ---- 5. text CFG: train + quality-cost sweep ---------------------------
+gate
+log "text cfgft training (15k steps)"
+timeout 3000 python -u -m text2protein_tpu.cli.train \
+    configs/quality_text_cfgft.yml --resume training/quality_text_cfgft/r4 \
+    --max_steps 15000 >> "$LOG" 2>&1
+log "text train rc=$?"
+gate
+log "CFG sweep"
+timeout 4500 python scripts/eval_cfg_sweep.py \
+    --workdir training/quality_text_cfgft/r4 --scales 1,2,3,1.5 \
+    --batch 16 --steps 1000 --restarts 2 --max_iter 200 \
+    --out reports/quality_text_cfg_sweep.json >> "$LOG" 2>&1
+log "cfg sweep rc=$?"
+
+log "tail sequence complete"
