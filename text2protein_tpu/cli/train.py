@@ -188,7 +188,22 @@ def main(argv=None):
     # context embeddings (7 s at the tunnel's ~3 MB/s) to ~1 MB of backbone
     # coords + int32 record indices. The per-record caption embeddings are
     # encoded ONCE at startup and kept on device as a bf16 table.
-    resident_prep = bool(config.data.get("featurize_on_device", False))
+    # Guard: the table is O(records x tokens x context_dim); cap its HBM
+    # footprint (a 90k-record real-PDB corpus at context_dim 4096 would need
+    # ~11 GB — at that scale fall back to shipping context per launch, which
+    # amortizes fine once the corpus no longer fits anyway).
+    table_bytes = (
+        n_total * int(config.text.get("pad_to_bucket", 64))
+        * int(config.model.context_dim) * 2  # bf16
+    )
+    max_table = int(config.data.get("max_context_table_bytes", 1 << 30))
+    resident_prep = bool(
+        config.data.get("featurize_on_device", False)
+        and table_bytes <= max_table
+    )
+    if config.data.get("featurize_on_device", False) and not resident_prep:
+        print(f"context table would be {table_bytes/2**30:.1f} GiB "
+              f"(> {max_table/2**30:.1f}); using per-launch context shipping")
 
     def build_context_table():
         caps = [dataset.caption(i) for i in range(n_total)]
