@@ -69,7 +69,10 @@ while true; do
         sleep "$WATCH_INTERVAL"
         stale=$(log_stale_s)
         limit=$STALL_S
-        if tail -n 1 "$LOG" 2>/dev/null | grep -q "saving meta checkpoint\|saving best checkpoint"; then
+        if tail -n 1 "$LOG" 2>/dev/null | grep -q "saving meta checkpoint\|saving best checkpoint\|evaluating at step"; then
+            # saves AND first-boundary eval compiles legitimately block
+            # silently for many minutes at N=256 (observed 17 min for the
+            # eval-program compile)
             limit=$SAVE_STALL_S
         fi
         if [ "$stale" -ge "$limit" ]; then

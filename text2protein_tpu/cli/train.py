@@ -425,6 +425,10 @@ def main(argv=None):
         if step - last_eval < eval_freq and not done:
             continue
         last_eval = step
+        # bracket the eval in the log: the FIRST boundary compiles the eval
+        # program (silent O(15 min) at N=256 over the tunnel) and the
+        # supervisor's staleness watchdog must not read that as a hang
+        print(f"evaluating at step {step} (first boundary compiles) ...")
         avg_train = float(np.mean(window_losses)) if window_losses else np.inf
         window_losses = []
         writer.scalar("avg_training_loss", avg_train, step)
