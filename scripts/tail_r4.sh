@@ -72,11 +72,16 @@ timeout 2700 python bench.py --repeats 2 >> "$LOG" 2>/dev/null
 log "bench rc=$?"
 
 # ---- 2. N=256 PC quality: sample on device, post on CPU ----------------
+# --checkpoint best_train everywhere: avg_eval over ~4 random-t batches is
+# too noisy to track progress (this run's best_eval froze at step 4000 on a
+# 0.0470-vs-0.0476 coin flip while best_train follows the newest boundary);
+# the EMA params inside the state make train-loss selection safe.
 gate
 log "N=256 PC sample phase"
 timeout 3600 python scripts/quality_loop.py \
     --workdir training/quality_n256/r4 --num_designs 12 --batch 4 \
     --steps 1000 --phase sample --samples_npz /tmp/n256_pc.npz \
+    --checkpoint best_train \
     >> "$LOG" 2>&1
 log "pc sample rc=$?"
 if [ -f /tmp/n256_pc.npz ]; then
@@ -94,6 +99,7 @@ log "N=256 hybrid sample phase"
 timeout 2700 python scripts/quality_loop.py \
     --workdir training/quality_n256/r4 --num_designs 12 --batch 4 \
     --sampler hybrid --phase sample --samples_npz /tmp/n256_hy.npz \
+    --checkpoint best_train \
     >> "$LOG" 2>&1
 log "hybrid sample rc=$?"
 if [ -f /tmp/n256_hy.npz ]; then
@@ -117,6 +123,7 @@ gate
 log "SS placement eval (n=32)"
 timeout 2700 python scripts/eval_ss_spec.py \
     --workdir training/quality_ss_vp/r4 --rounds 2 --batch 16 \
+    --checkpoint best_train \
     --steps 1000 --out reports/quality_ss_spec_vp.json >> "$LOG" 2>&1
 log "ss eval rc=$?"
 
@@ -131,6 +138,7 @@ gate
 log "CFG sweep"
 timeout 4500 python scripts/eval_cfg_sweep.py \
     --workdir training/quality_text_cfgft/r4 --scales 1,2,3,1.5 \
+    --checkpoint best_train \
     --batch 16 --steps 1000 --restarts 2 --max_iter 200 \
     --out reports/quality_text_cfg_sweep.json >> "$LOG" 2>&1
 log "cfg sweep rc=$?"

@@ -115,9 +115,22 @@ class CheckpointManager:
         return self._restore(self.best_dir / f"best_{kind}", template)
 
     def restore_any(self, template: TrainState, path=None) -> TrainState:
-        """Restore from an explicit path, else best_eval, best_train, meta."""
+        """Restore from an explicit path, else best_eval, best_train, meta.
+
+        `path` also accepts the bare names "best_eval" / "best_train" /
+        "meta", resolved inside this manager's workdir — eval drivers pass
+        `--checkpoint best_train` when avg_eval noise has frozen best_eval
+        at an early step (observed: a 379M N=256 run whose best_eval stuck
+        at step 4000 on a 0.0470-vs-0.0476 coin flip)."""
         if path is not None:
-            return self._restore(Path(path).absolute(), template)
+            p = Path(path)
+            if str(p) in ("best_eval", "best_train"):
+                p = self.best_dir / str(p)
+            elif str(p) == "meta":
+                p = self._meta_path()
+            else:
+                p = p.absolute()
+            return self._restore(p, template)
         for cand in (
             self.best_dir / "best_eval",
             self.best_dir / "best_train",
