@@ -61,6 +61,10 @@ def result_signature(args):
         "steps": args.steps, "batch": args.batch, "dtype": args.dtype,
         "param_dtype": args.param_dtype, "norm_dtype": args.norm_dtype,
         "config": args.config, "quick": bool(args.quick),
+        # platform + launch chunking change what is measured: a cached
+        # '--platform cpu' or odd-chunk record must never be re-emitted as
+        # the provisional line for a default TPU run (advisor r4, medium)
+        "platform": args.platform, "chunk": args.chunk,
     }
 
 

@@ -60,7 +60,7 @@ def main():
 
     from text2protein_tpu.config import load_config
     from text2protein_tpu.conditioning import length_mask
-    from text2protein_tpu.data import ProteinProcessedDataset, load_record
+    from text2protein_tpu.data import load_record
     from text2protein_tpu.data.pdbio import write_backbone_pdb
     from text2protein_tpu.diffusion import get_sde
     from text2protein_tpu.diffusion.sampling import get_pc_sampler, pick_chunk
@@ -79,10 +79,10 @@ def main():
     c = config.data.num_channels
     bs = args.batch
     L = args.length
-    scales = [float(x) for x in args.scales.split(",")]
+    scales = [float(x) for x in args.scales.split(",") if x.strip()]
+    assert scales, f"--scales parsed to nothing: {args.scales!r}"
 
     # matched-caption test records at the target length
-    dataset = ProteinProcessedDataset(str(processed))
     test_ids = [x.strip()
                 for x in (workdir / "test_ids.txt").read_text().splitlines()
                 if x.strip()]

@@ -51,6 +51,10 @@ def main():
                         "sampling.hybrid_{ode,pc}_steps, NFE 460 default)")
     p.add_argument("--out", type=str, default="reports/quality_10k.json")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--flag_per_l2", type=float, default=12.0,
+                   help="absolute high-energy flag: energy > this * L^2 "
+                        "(length-normalized, comparable across samplers; "
+                        "~3x the r4 PC N=256 per-L^2 median)")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu) — the default "
                         "backend wins otherwise, and a dead TPU tunnel "
@@ -131,6 +135,13 @@ def main():
             nfe = int(z["nfe"])
             sample_time = float(z["sample_time"])
         by_id = {r["id"]: r for r in records}
+        unknown = [i for i in ids if i not in by_id]
+        if unknown:
+            raise SystemExit(
+                f"{samples_npz} holds ids not in {workdir}'s test split "
+                f"({unknown[:5]}{'...' if len(unknown) > 5 else ''}) — "
+                f"stale or mismatched --samples_npz?"
+            )
         designs = [(by_id[i], cnn) for i, cnn in zip(ids, cnns_all)]
         print(f"post phase: {len(designs)} sampled maps from {samples_npz}")
         return _post(args, workdir, processed, config, designs, train_ids,
@@ -297,6 +308,8 @@ def _post(args, workdir, processed, config, designs, train_ids,
         print(f"  realized {len(idxs)} designs at L={L} "
               f"({time.time() - t1:.0f}s elapsed)")
     realize_time = time.time() - t1
+    lengths_sq = np.array([float(rec["coords"].shape[0]) ** 2
+                           for rec, _ in designs])
 
     # --- TM sweeps ------------------------------------------------------------
     gt_sweep = gt_gen_tm_compare(pairs, out_path=qdir / "tm-scores-gt.json")
@@ -339,9 +352,26 @@ def _post(args, workdir, processed, config, designs, train_ids,
             "avg": float(np.mean(energies)),
             "median": float(np.median(energies)),
             "max": float(np.max(energies)),
+            # relative flag: still >3x the BATCH median after retries
+            # (realize_batch_managed retry_factor) — blind to a whole-batch
+            # shift, so the absolute row below is the cross-sampler contract
             "flagged_high_energy": int(flagged.sum()),
             "flagged_ids": [designs[i][0]["id"]
                             for i in np.nonzero(flagged)[0]],
+            # absolute, length-normalized flag (r4 verdict: hybrid's median
+            # ran 1.47x PC's yet flagged 0 because each batch used its own
+            # median). Restraint count ~ L^2, so energy/L^2 is comparable
+            # across lengths; threshold = --flag_per_l2 (default 12.0 =
+            # ~3x the r4 PC N=256 per-L^2 median of 3.9).
+            "per_l2_median": float(np.median(energies / lengths_sq)),
+            "per_l2_max": float(np.max(energies / lengths_sq)),
+            "flag_threshold": {
+                "definition": "energy > flag_per_l2 * L^2",
+                "flag_per_l2": float(args.flag_per_l2),
+            },
+            "flagged_abs": int(
+                (energies > args.flag_per_l2 * lengths_sq).sum()
+            ),
         },
         # in a split run the sampling platform is whatever ran --phase
         # sample; this process may be CPU-only post-processing

@@ -27,6 +27,10 @@ LOG="${4:-/tmp/train_supervised.log}"
 DEADLINE_S="${DEADLINE_S:-19800}"     # give up after ~5.5h wall
 STALL_S="${STALL_S:-1200}"            # kill a silent trainer after 20 min
 SAVE_STALL_S="${SAVE_STALL_S:-2700}"  # ... 45 min if a meta save is in flight
+TRANSFER_STALL_S="${TRANSFER_STALL_S:-600}"  # ... only 10 min mid-transfer:
+# the chunked device->host copy (cli/train.py fetch_state_chunked) prints
+# progress every ~20 s while healthy, so silence means a dead RPC — kill
+# fast instead of absorbing the old 33-min monolithic-device_get hang
 WATCH_INTERVAL="${WATCH_INTERVAL:-60}"
 START=$(date +%s)
 
@@ -69,7 +73,10 @@ while true; do
         sleep "$WATCH_INTERVAL"
         stale=$(log_stale_s)
         limit=$STALL_S
-        if tail -n 1 "$LOG" 2>/dev/null | grep -q "saving meta checkpoint\|saving best checkpoint\|evaluating at step"; then
+        if tail -n 1 "$LOG" 2>/dev/null | grep -q "state transfer"; then
+            # chunked transfer in flight: healthy ones log every ~20 s
+            limit=$TRANSFER_STALL_S
+        elif tail -n 1 "$LOG" 2>/dev/null | grep -q "saving meta checkpoint\|saving best checkpoint\|evaluating at step"; then
             # saves AND first-boundary eval compiles legitimately block
             # silently for many minutes at N=256 (observed 17 min for the
             # eval-program compile)

@@ -78,7 +78,10 @@ def test_driver_timeout_still_parseable(tmp_path):
     sig_args = type("A", (), {
         "metric": "sample", "sampler": "pc", "steps": 1000, "batch": 16,
         "dtype": "bfloat16", "param_dtype": None, "norm_dtype": None,
-        "config": "configs/bench_l128.yml", "quick": True})
+        "config": "configs/bench_l128.yml", "quick": True,
+        # platform/chunk are signature fields (advisor r4): the recorded
+        # platform must match the subprocess's --platform cpu below
+        "platform": "cpu", "chunk": None})
     bench.write_record(rec, bench.result_signature(sig_args), {
         "metric": "L16_samples_per_min_per_chip_at_100_pc_steps",
         "value": 93.2, "unit": "samples/min/chip", "vs_baseline": 3.7})

@@ -53,6 +53,73 @@ def batches(dataset, indices, batch_size, max_len, rng, shuffle=True,
     yield from loader
 
 
+def make_eval_pass(config, dataset, eval_idx, bs, max_len, prepare, eval_step):
+    """Deterministic eval boundaries (round-4 verdict: `avg_eval_loss` was
+    dominated by fresh (t, z, mask) draws each boundary — noise swamped real
+    improvements on a small split and froze best_eval at an early lucky
+    minimum, making one of the reference's three checkpoint artifacts
+    (`/root/reference/train.py:244-255`) decorative at flagship scale).
+
+    The (t, z, conditioning-mask) keys are a fixed per-batch grid seeded once
+    from config.seed, and the eval index order is fixed, so two eval passes
+    at the same params return bit-identical losses and boundary-to-boundary
+    deltas measure the params, not the noise. The train path is untouched.
+    """
+    import jax
+
+    base = jax.random.PRNGKey(config.seed + 7919)
+    if len(eval_idx) < bs:
+        # under one batch: fill by sampling with replacement ONCE (the
+        # reference samples with replacement per boundary, train.py:66-72)
+        idx = np.random.RandomState(config.seed + 17).choice(
+            eval_idx, size=bs, replace=True)
+    else:
+        idx = np.asarray(eval_idx)
+
+    def eval_pass(state):
+        losses, last_batch = [], None
+        loader_rng = np.random.RandomState(config.seed + 23)
+        for bi, batch in enumerate(
+                batches(dataset, idx, bs, max_len, loader_rng,
+                        shuffle=False, drop_last=True)):
+            k_mask, k_step = jax.random.split(
+                jax.random.fold_in(base, bi))
+            dbatch = prepare(batch, k_mask)
+            losses.append(float(eval_step(state, dbatch, k_step)))
+            last_batch = batch
+        return (float(np.mean(losses)) if losses else np.inf), last_batch
+
+    return eval_pass
+
+
+def fetch_state_chunked(state, log_every_s=20.0):
+    """Device->host copy of the train state, leaf by leaf with progress
+    prints (round-4 verdict: the monolithic `jax.device_get(state)` blocked
+    silently for ~7 min at N=256 over the ~3 MB/s tunnel, and a dead RPC
+    inside it once froze the trainer until the supervisor's 45-min save
+    watchdog fired — 33 min lost). Individual leaves cross in seconds, so a
+    healthy transfer refreshes the log continuously and the supervisor can
+    kill a genuinely-stalled transfer on a tight limit
+    (`scripts/train_supervised.sh` TRANSFER_STALL_S) instead of absorbing it.
+    """
+    import jax
+
+    leaves, treedef = jax.tree.flatten(state)
+    total = sum(getattr(x, "nbytes", 0) for x in leaves)
+    done, t0 = 0, time.time()
+    t_log = t0
+    out = []
+    for i, leaf in enumerate(leaves):
+        out.append(jax.device_get(leaf))
+        done += getattr(leaf, "nbytes", 0)
+        if time.time() - t_log >= log_every_s:
+            t_log = time.time()
+            print(f"state transfer {done / 2**20:.0f}/"
+                  f"{total / 2**20:.0f} MiB ({i + 1}/{len(leaves)} leaves, "
+                  f"{time.time() - t0:.0f}s)", flush=True)
+    return jax.tree.unflatten(treedef, out)
+
+
 def main(argv=None):
     args = build_argparser().parse_args(argv)
 
@@ -205,7 +272,7 @@ def main(argv=None):
         print(f"context table would be {table_bytes/2**30:.1f} GiB "
               f"(> {max_table/2**30:.1f}); using per-launch context shipping")
 
-    def build_context_table():
+    def build_context_table_host():
         caps = [dataset.caption(i) for i in range(n_total)]
         embs, masks = [], []
         for i in range(0, len(caps), 64):
@@ -216,19 +283,26 @@ def main(argv=None):
         embs = [np.pad(e, ((0, 0), (0, t_max - e.shape[1]), (0, 0)))
                 for e in embs]
         masks = [np.pad(m, ((0, 0), (0, t_max - m.shape[1]))) for m in masks]
-        from ..parallel.mesh import replicate_sharding
-
-        table = put_array(
-            np.concatenate(embs).astype(jnp.bfloat16),
-            replicate_sharding(mesh),
-        )
-        mask_table = put_array(
-            np.concatenate(masks).astype(bool), replicate_sharding(mesh)
-        )
-        return table, mask_table
+        return (np.concatenate(embs).astype(jnp.bfloat16),
+                np.concatenate(masks).astype(bool))
 
     if resident_prep:
-        ctx_table, ctx_mask_table = build_context_table()
+        # the pre-encode estimate above sizes the table at pad_to_bucket
+        # tokens, but captions spanning multiple buckets pad the table to the
+        # corpus-wide max — re-check the REAL footprint before shipping it to
+        # HBM (advisor r4)
+        table_np, mask_np = build_context_table_host()
+        if table_np.nbytes > max_table:
+            print(f"context table is {table_np.nbytes/2**30:.1f} GiB "
+                  f"(> {max_table/2**30:.1f} cap, captions exceed "
+                  f"pad_to_bucket); using per-launch context shipping")
+            resident_prep = False
+
+    if resident_prep:
+        from ..parallel.mesh import replicate_sharding
+
+        ctx_table = put_array(table_np, replicate_sharding(mesh))
+        ctx_mask_table = put_array(mask_np, replicate_sharding(mesh))
         from ..data.featurize import featurize_batch_jax
 
         num_channels = int(config.data.num_channels)
@@ -340,6 +414,15 @@ def main(argv=None):
     writer = MetricsWriter(workdir / "tb")
     rng = jax.random.PRNGKey(config.seed + 1)
     best_train, best_eval = np.inf, np.inf
+    pending_train = pending_eval = False
+    last_best_save = int(state.step)
+    # milestone steps still ahead of us (resume-safe: an existing snapshot
+    # dir means that milestone was already taken in a previous attempt)
+    snap_steps = [
+        int(s) for s in config.training.get("snapshot_steps", [])
+        if int(s) > int(state.step)
+        and not (ckpt.best_dir / f"snapshot_{int(s)}").exists()
+    ]
     n_iters = args.max_steps or config.training.n_iters
     log_freq = config.training.log_freq
 
@@ -370,6 +453,8 @@ def main(argv=None):
 
     stream = train_batches_forever()
     window_losses = []  # since the last eval boundary
+    eval_pass = make_eval_pass(config, dataset, eval_idx, bs, max_len,
+                               prepare, eval_step)
 
     while step < step_budget:
         # ---- train: one device launch (1 or steps_per_launch steps)
@@ -414,7 +499,9 @@ def main(argv=None):
             # log-staleness watchdog can tell "long save" from "hung RPC".
             print(f"saving meta checkpoint at step {step} ...")
             t_save = time.time()
-            ckpt.save_meta(state)
+            # chunked device->host first: the tunnel-bound copy emits
+            # progress lines; orbax then only pays the (fast) disk phase
+            ckpt.save_meta(fetch_state_chunked(state))
             print(f"meta checkpoint saved ({time.time() - t_save:.0f}s)")
             last_meta = step
 
@@ -432,18 +519,7 @@ def main(argv=None):
         avg_train = float(np.mean(window_losses)) if window_losses else np.inf
         window_losses = []
         writer.scalar("avg_training_loss", avg_train, step)
-        eval_indices = eval_idx
-        if len(eval_indices) < bs:
-            eval_indices = host_rng.choice(eval_idx, size=bs, replace=True)
-        eval_losses = []
-        last_eval_batch = None
-        for batch in batches(dataset, eval_indices, bs, max_len, host_rng,
-                             shuffle=False, drop_last=True):
-            rng, k_mask, k_step = jax.random.split(rng, 3)
-            dbatch = prepare(batch, k_mask)
-            eval_losses.append(float(eval_step(state, dbatch, k_step)))
-            last_eval_batch = batch
-        avg_eval = float(np.mean(eval_losses)) if eval_losses else np.inf
+        avg_eval, last_eval_batch = eval_pass(state)
         if np.isfinite(avg_eval):
             writer.scalar("avg_eval_loss", avg_eval, step)
         epoch = step // steps_per_epoch
@@ -477,27 +553,50 @@ def main(argv=None):
         # copy IS the cost of a save (~20 min for the N=256 state), and
         # early in training both bests improve at every eval boundary —
         # saving each from the device would pay it twice.
-        improved_train = avg_train < best_train
-        improved_eval = avg_eval < best_eval
-        if improved_train or improved_eval:
+        # best-save throttle: at N=256 each dedup'd best save costs ~7 min of
+        # tunnel transfer and early in training BOTH bests improve at every
+        # boundary — training.best_save_min_interval (steps, default 0 = off)
+        # defers saves that would be superseded a boundary later anyway. An
+        # improvement stays PENDING until a boundary where the gap has
+        # passed (or the run ends), so a deferred best is never dropped.
+        if avg_train < best_train:
+            best_train = avg_train
+            pending_train = True
+        if avg_eval < best_eval:
+            best_eval = avg_eval
+            pending_eval = True
+        best_gap = int(config.training.get("best_save_min_interval", 0))
+        save_best_now = (pending_train or pending_eval) and (
+            done or step - last_best_save >= best_gap
+        )
+        # milestone snapshots (training.snapshot_steps): named checkpoints at
+        # fixed steps that best/meta overwrites never clobber — e.g. the
+        # matched-step corpus-ablation checkpoint at 12000. First boundary at
+        # or past each listed step wins; shares the host transfer below.
+        due_snaps = [s for s in snap_steps if s <= step]
+        if save_best_now or due_snaps:
             # bracket in the log: the transfer blocks silently for ~20 min
             # at N=256, and the supervisor's stall watchdog needs to tell
             # "long save" from "hung RPC" (scripts/train_supervised.sh)
             print(f"saving best checkpoint at step {step} "
                   f"(host transfer) ...")
             t_save = time.time()
-            host_state = jax.device_get(state)
-            if improved_train:
-                best_train = avg_train
+            host_state = fetch_state_chunked(state)
+            if pending_train:
                 ckpt.save_best(host_state, "train")
-            if improved_eval:
-                best_eval = avg_eval
+            if pending_eval:
                 ckpt.save_best(host_state, "eval")
+            for s in due_snaps:
+                print(f"saving milestone snapshot_{s} at step {step}")
+                ckpt.save_snapshot(host_state, s)
+                snap_steps.remove(s)
+            pending_train = pending_eval = False
+            last_best_save = step
             del host_state
             print(f"best checkpoint saved ({time.time() - t_save:.0f}s)")
 
     if last_meta != step:
-        ckpt.save_meta(state)
+        ckpt.save_meta(fetch_state_chunked(state))
     ckpt.wait_until_finished()  # join any in-flight async best save
     writer.close()
     print(f"done at step {step}; workdir {workdir}")

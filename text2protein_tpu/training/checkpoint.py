@@ -114,6 +114,13 @@ class CheckpointManager:
     def restore_best(self, template: TrainState, kind: str) -> TrainState:
         return self._restore(self.best_dir / f"best_{kind}", template)
 
+    def save_snapshot(self, state: TrainState, tag):
+        """Named milestone checkpoint (`checkpoints/snapshot_<tag>`) that
+        best/meta overwrites never clobber — e.g. a fixed-step checkpoint
+        kept for matched-step ablations (cli/train.py
+        training.snapshot_steps). Async like best saves."""
+        self._save(self.best_dir / f"snapshot_{tag}", state, block=False)
+
     def restore_any(self, template: TrainState, path=None) -> TrainState:
         """Restore from an explicit path, else best_eval, best_train, meta.
 
