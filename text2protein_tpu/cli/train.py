@@ -254,29 +254,26 @@ def main(argv=None):
     # and the per-launch host->device transfer drops from ~21 MB of f32
     # context embeddings (7 s at the tunnel's ~3 MB/s) to ~1 MB of backbone
     # coords + int32 record indices. The per-record caption embeddings are
-    # encoded ONCE at startup and kept on device as a bf16 table.
-    # Guard: the table is O(records x tokens x context_dim); cap its HBM
-    # footprint (a 90k-record real-PDB corpus at context_dim 4096 would need
-    # ~11 GB — at that scale fall back to shipping context per launch, which
-    # amortizes fine once the corpus no longer fits anyway).
-    table_bytes = (
-        n_total * int(config.text.get("pad_to_bucket", 64))
-        * int(config.model.context_dim) * 2  # bf16
-    )
+    # encoded ONCE at startup and kept on device as a bf16 table, DEDUP'D by
+    # caption text: the table holds one row per UNIQUE caption plus an
+    # (n_records,) int32 indirection — synthetic corpora have O(10) unique
+    # captions (the 2304-record N=256 corpus would otherwise cost 302 MB of
+    # HBM on a chip where the 379M-param B=8 train program already runs
+    # close to full), and real-PDB corpora repeat captions heavily too.
+    # Guard: cap the UNIQUE-caption table's HBM footprint; past the cap fall
+    # back to shipping context per launch.
+    resident_prep = bool(config.data.get("featurize_on_device", False))
     max_table = int(config.data.get("max_context_table_bytes", 1 << 30))
-    resident_prep = bool(
-        config.data.get("featurize_on_device", False)
-        and table_bytes <= max_table
-    )
-    if config.data.get("featurize_on_device", False) and not resident_prep:
-        print(f"context table would be {table_bytes/2**30:.1f} GiB "
-              f"(> {max_table/2**30:.1f}); using per-launch context shipping")
 
     def build_context_table_host():
-        caps = [dataset.caption(i) for i in range(n_total)]
+        uniq = {}
+        inv = np.empty(n_total, np.int32)
+        for i in range(n_total):
+            inv[i] = uniq.setdefault(dataset.caption(i), len(uniq))
+        ucaps = list(uniq)
         embs, masks = [], []
-        for i in range(0, len(caps), 64):
-            e, m = encoder.encode(caps[i:i + 64])
+        for i in range(0, len(ucaps), 64):
+            e, m = encoder.encode(ucaps[i:i + 64])
             embs.append(np.asarray(e))
             masks.append(np.asarray(m))
         t_max = max(e.shape[1] for e in embs)
@@ -284,30 +281,34 @@ def main(argv=None):
                 for e in embs]
         masks = [np.pad(m, ((0, 0), (0, t_max - m.shape[1]))) for m in masks]
         return (np.concatenate(embs).astype(jnp.bfloat16),
-                np.concatenate(masks).astype(bool))
+                np.concatenate(masks).astype(bool), inv)
 
     if resident_prep:
-        # the pre-encode estimate above sizes the table at pad_to_bucket
-        # tokens, but captions spanning multiple buckets pad the table to the
-        # corpus-wide max — re-check the REAL footprint before shipping it to
-        # HBM (advisor r4)
-        table_np, mask_np = build_context_table_host()
+        # size the REAL encoded table (pre-encode estimates undercount when
+        # captions span token buckets, advisor r4; dedup makes the encode
+        # cheap regardless of record count)
+        table_np, mask_np, inv_np = build_context_table_host()
         if table_np.nbytes > max_table:
-            print(f"context table is {table_np.nbytes/2**30:.1f} GiB "
-                  f"(> {max_table/2**30:.1f} cap, captions exceed "
-                  f"pad_to_bucket); using per-launch context shipping")
+            print(f"context table is {table_np.nbytes/2**30:.1f} GiB for "
+                  f"{table_np.shape[0]} unique captions "
+                  f"(> {max_table/2**30:.1f} cap); using per-launch "
+                  f"context shipping")
             resident_prep = False
+        else:
+            print(f"resident context table: {table_np.shape[0]} unique "
+                  f"captions, {table_np.nbytes/2**20:.1f} MiB")
 
     if resident_prep:
         from ..parallel.mesh import replicate_sharding
 
         ctx_table = put_array(table_np, replicate_sharding(mesh))
         ctx_mask_table = put_array(mask_np, replicate_sharding(mesh))
+        ctx_inv = put_array(inv_np, replicate_sharding(mesh))
         from ..data.featurize import featurize_batch_jax
 
         num_channels = int(config.data.num_channels)
 
-        def _prep(light, table, mask_table):
+        def _prep(light, table, mask_table, inv):
             k, b_ = light["bb"].shape[:2]
             flat = lambda x: x.reshape((k * b_,) + x.shape[2:])  # noqa: E731
             coords_6d, mask_pair = featurize_batch_jax(
@@ -316,13 +317,14 @@ def main(argv=None):
                           if "ss_block" in light else None),
             )
             unflat = lambda x: x.reshape((k, b_) + x.shape[1:])  # noqa: E731
+            uidx = inv[light["index"]]
             out = {
                 "coords_6d": unflat(coords_6d),
                 "mask_pair": unflat(mask_pair),
                 "ss_spans": light["ss_spans"],
                 "length": light["length"],
-                "context": table[light["index"]].astype(jnp.float32),
-                "context_mask": mask_table[light["index"]],
+                "context": table[uidx].astype(jnp.float32),
+                "context_mask": mask_table[uidx],
             }
             if "mask_inpaint" in light:
                 out["mask_inpaint"] = light["mask_inpaint"]
@@ -339,7 +341,7 @@ def main(argv=None):
             stacked = {k: np.stack([h[k] for h in hosts]) for k in hosts[0]}
             light = {k: put_array(v, stacked_sharding)
                      for k, v in stacked.items()}
-            return prep_jit(light, ctx_table, ctx_mask_table)
+            return prep_jit(light, ctx_table, ctx_mask_table, ctx_inv)
 
         prepare_stacked = prepare_stacked_resident  # noqa: F811
 
