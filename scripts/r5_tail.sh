@@ -38,13 +38,29 @@ timeout 2400 python scripts/quality_loop.py \
     --checkpoint best_train >> "$LOG" 2>&1
 log "rc=$?"
 
-gate
-log "2: hybrid sample n=12 (snapshot_12000, matched-step ablation)"
-timeout 1800 python scripts/quality_loop.py \
-    --workdir "$WD" --num_designs 12 --batch 4 \
-    --sampler hybrid --phase sample --samples_npz /tmp/n256_r5_snap12.npz \
-    --checkpoint "$WD/checkpoints/snapshot_12000" >> "$LOG" 2>&1
-log "rc=$?"
+# the snapshot ablation is redundant if the trainer was deadline-cut after
+# its last best save: best_train then IS step 12000 (the samples.npz records
+# step_trained; compare against the snapshot step)
+best_step=$(python - <<'EOF'
+import numpy as np
+try:
+    with np.load('/tmp/n256_r5_hy.npz') as z:
+        print(int(z['step_trained']))
+except Exception:
+    print(-1)
+EOF
+)
+if [ "$best_step" = "12000" ]; then
+    log "2: SKIP snapshot eval (best_train is already step 12000)"
+else
+    gate
+    log "2: hybrid sample n=12 (snapshot_12000, matched-step ablation; best=$best_step)"
+    timeout 1800 python scripts/quality_loop.py \
+        --workdir "$WD" --num_designs 12 --batch 4 \
+        --sampler hybrid --phase sample --samples_npz /tmp/n256_r5_snap12.npz \
+        --checkpoint "$WD/checkpoints/snapshot_12000" >> "$LOG" 2>&1
+    log "rc=$?"
+fi
 
 gate
 log "3: PC sample n=24 (best_train)"
