@@ -63,3 +63,52 @@ def test_resident_prep_trains_and_checkpoints(tmp_path):
     batch = next(iter(loader))
     assert batch["index"].tolist() == [0, 1]
     assert ds.caption(0) == batch["caption"][0]
+
+
+def test_context_table_dedup_matches_direct_encode():
+    """The dedup'd resident table must reproduce per-record direct encoding
+    exactly: table[inv[i]] == encode(caption(i)) (values within bf16 cast,
+    masks bit-equal). Guards the round-5 unique-caption indirection — a
+    wrong inv[] silently trains the model on mismatched captions, which
+    presents as 'the model ignores text' only much later, at steering-eval
+    time."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from text2protein_tpu.data import ProteinProcessedDataset
+    from text2protein_tpu.text import build_text_encoder
+    from helpers import tiny_config
+
+    config = tiny_config()
+    ds = ProteinProcessedDataset("data/processed_synth")
+    n = min(len(ds), 24)
+    enc = build_text_encoder(config)
+
+    # mirror cli/train.py build_context_table_host
+    uniq = {}
+    inv = np.empty(n, np.int32)
+    for i in range(n):
+        inv[i] = uniq.setdefault(ds.caption(i), len(uniq))
+    ucaps = list(uniq)
+    assert len(ucaps) < n, "corpus should repeat captions"
+    embs, masks = [], []
+    for i in range(0, len(ucaps), 64):
+        e, m = enc.encode(ucaps[i:i + 64])
+        embs.append(np.asarray(e))
+        masks.append(np.asarray(m))
+    t_max = max(e.shape[1] for e in embs)
+    embs = [np.pad(e, ((0, 0), (0, t_max - e.shape[1]), (0, 0)))
+            for e in embs]
+    masks = [np.pad(m, ((0, 0), (0, t_max - m.shape[1]))) for m in masks]
+    table = np.concatenate(embs).astype(jnp.bfloat16)
+    mask_table = np.concatenate(masks).astype(bool)
+
+    for i in range(n):
+        e, m = enc.encode([ds.caption(i)])
+        e, m = np.asarray(e)[0], np.asarray(m)[0]
+        row = np.asarray(table[inv[i]], np.float32)[: e.shape[0]]
+        np.testing.assert_allclose(
+            row, e, atol=0.02,
+            err_msg=f"record {i}: table row != direct encode"
+        )
+        assert (mask_table[inv[i]][: m.shape[0]] == m).all(), i
